@@ -1,0 +1,86 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.model._
+import graft.operators._
+
+/** Rule/lookup tables for one pipeline run (the sig filter's rules.json /
+  * ioc.json / ref.json analogues, SURVEY §1.1). All broadcast-small by
+  * contract; whitelist + sig rules are compiled into the plan itself. */
+case class RuleTables(
+    ioc: DataFrame,
+    sigRules: Seq[SigRule],
+    ref: DataFrame,
+    whitelist: Seq[WhitelistRule])
+
+/** The parse → enrich → route → aggregate pipeline (SURVEY §3.2).
+  *
+  * Stage order is the reference's check order C1→C9 and must be preserved for
+  * routed-row equality: parse → C1 fp-dedup → C2 whitelist → C3 IOC → C4 sig
+  * → C5 ref → C6 first-seen → C7 frequency → C8 scoring.
+  *
+  * Shuffle budget (SURVEY §3.2): #1 dedup window by (fp, bucket); #2 the
+  * stateful stages keyed by value/(conv_id, sec); everything in between is
+  * narrow (broadcast joins + compiled predicates).
+  */
+object Pipeline {
+
+  /** State carried across runs (resume): previously seen first-seen values and
+    * fingerprint buckets. Empty for a fresh run. */
+  case class State(seenValues: Option[DataFrame], fpSeen: Option[DataFrame])
+  object State { val empty: State = State(None, None) }
+
+  /** The pure transform: transcripts in, enriched detection rows out. */
+  def enrich(turns: DataFrame, tables: RuleTables, conf: PipelineConf,
+      state: State = State.empty): DataFrame = {
+    val parsed = Parse(turns, conf)
+    val deduped = Dedup(parsed, conf, state.fpSeen)
+    val survivors = Whitelist(deduped, tables.whitelist)
+    val enriched = RefCheck(
+      SigRules(IocEnrich(survivors, tables.ioc), tables.sigRules),
+      tables.ref, conf)
+    val stateful = Frequency(FirstSeen(enriched, conf, state.seenValues), conf)
+    Scoring(stateful, conf)
+  }
+
+  /** Per-signature rollup: counts + score mass + distinct conversations
+    * (approx at scale; exact variant used in tests). */
+  def rollupBySignature(enriched: DataFrame): DataFrame =
+    enriched.select(explode(col("hits")).as("h"), col("conv_id"))
+      .groupBy(col("h.kind").as("kind"), col("h.rule_id").as("rule_id"),
+        col("h.name").as("name"))
+      .agg(count(lit(1)).as("n_hits"),
+        sum(col("h.score")).cast("long").as("score_sum"),
+        approx_count_distinct(col("conv_id")).as("approx_convs"))
+
+  /** Per-sink (severity) rollup over routed rows. */
+  def rollupBySink(enriched: DataFrame): DataFrame =
+    enriched.filter(col("routed")).groupBy(col("severity")).agg(count(lit(1)).as("n"))
+
+  /** C9 fan-out: ONE pass over the enriched rows (persist), then K filtered
+    * sink writes + alerts_all partitioned by severity (SURVEY §2.9 R2 — never
+    * K source re-reads). Returns per-sink counts from `observe` metrics. */
+  def route(spark: SparkSession, enriched: DataFrame, conf: PipelineConf,
+      outDir: String): Map[String, Long] = {
+    import org.apache.spark.sql.Observation
+    val cached = enriched.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val obs = Observation("sinks")
+      val severities = conf.severityBands.map(_._2)
+      val aggs = severities.map(s =>
+        sum(when(col("routed") && col("severity") === s, 1L).otherwise(0L)).as(s"n_$s"))
+      val observed = cached.observe(obs, aggs.head, aggs.tail: _*)
+      observed.filter(col("routed"))
+        .write.mode("overwrite").partitionBy("severity")
+        .parquet(s"$outDir/alerts_all")
+      rollupBySignature(cached).write.mode("overwrite")
+        .parquet(s"$outDir/rollup_signature")
+      rollupBySink(cached).write.mode("overwrite")
+        .parquet(s"$outDir/rollup_sink")
+      val m = obs.get
+      severities.map(s => s -> m(s"n_$s").asInstanceOf[Long]).toMap
+    } finally cached.unpersist()
+  }
+}

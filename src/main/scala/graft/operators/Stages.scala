@@ -1,0 +1,263 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.{GrokCompiler, RegexStructExtract}
+import graft.model._
+
+/** Shared clause → Catalyst predicate compiler (C2 whitelist + C4 sig rules).
+  *
+  * The reference interprets each clause per event in Ruby («sig.rb» check_sig,
+  * SURVEY §2.4); we compile the whole (small, driver-side) rule config into
+  * boolean `Column`s ONCE at plan time — zero joins, whole-stage-codegen'd.
+  * Semantics must stay identical to [[graft.oracle.RefModel.clauseMatches]].
+  */
+object ClauseCompiler {
+  def predicate(field: String, op: String, arg: String): Column = {
+    val c = col(field)
+    op match {
+      case "rx" => c.isNotNull && c.cast("string").rlike(arg)
+      case "eq" => if (field == "status") c === arg.toInt else c === arg
+      case "in" =>
+        if (field == "status") c.isin(arg.split(",").map(_.trim.toInt): _*)
+        else c.isin(arg.split(","): _*)
+      case "lt" => c.cast("double") < arg.toDouble
+      case "gt" => c.cast("double") > arg.toDouble
+      case "exists" => c.isNotNull && c.cast("string") =!= ""
+      case other => throw new IllegalArgumentException(s"unknown op $other")
+    }
+  }
+
+  def hitStruct(ruleId: Int, name: String, score: Column): Column =
+    struct(lit(ruleId).as("rule_id"), lit(name).as("name"),
+      score.cast("int").as("score"), lit("").as("kind"))
+
+  def hitStruct(ruleId: Int, name: String, score: Column, kind: String): Column =
+    struct(lit(ruleId).as("rule_id"), lit(name).as("name"),
+      score.cast("int").as("score"), lit(kind).as("kind"))
+}
+
+/** P1 grok parse: ONE regex match per row via [[RegexStructExtract]];
+  * null struct ⇒ `parse_ok=false` (`_grokparsefailure` analogue). Narrow. */
+object Parse {
+  def apply(turns: DataFrame, conf: PipelineConf): DataFrame = {
+    val g = GrokCompiler.compile(conf.grokPattern)
+    turns
+      .withColumn("_g", RegexStructExtract.grokStruct(col("text"), g))
+      .select(
+        col("conv_id"), col("turn_idx"), col("role"), col("text"),
+        nullif(col("tool"), lit("")).as("tool"),
+        col("ts"),
+        unix_timestamp(col("ts")).as("ts_sec"),
+        unix_micros(col("ts")).as("ts_us"),
+        col("_g.action").as("action"),
+        col("_g.user").as("user"),
+        col("_g.src_ip").as("src_ip"),
+        col("_g.dst_host").as("dst_host"),
+        col("_g.status").cast("int").as("status"),
+        col("_g.hashv").as("hashv"),
+        col("_g.uri").as("uri"),
+        col("_g").isNotNull.as("parse_ok"))
+  }
+}
+
+/** C1 fingerprint dedup: fp = sha256(text); keep the first row per
+  * (fp, delay-bucket) under stable (ts, conv_id, turn_idx) order.
+  * Cross-run suppression (resume) anti-joins the checkpointed `fp_seen`
+  * state table before the window. */
+object Dedup {
+  def apply(df: DataFrame, conf: PipelineConf,
+      fpSeen: Option[DataFrame] = None): DataFrame = {
+    val withFp = df
+      .withColumn("fp", sha2(col("text"), 256))
+      .withColumn("fp_bucket", floor(col("ts_sec") / conf.dedupDelaySec))
+    val base = fpSeen match {
+      case Some(st) => withFp.join(st.select(col("fp"), col("fp_bucket")),
+        Seq("fp", "fp_bucket"), "left_anti")
+      case None => withFp
+    }
+    val w = Window.partitionBy(col("fp"), col("fp_bucket"))
+      .orderBy(col("ts_us"), col("conv_id"), col("turn_idx"))
+    base.withColumn("_rn", row_number().over(w))
+      .filter(col("_rn") === 1)
+      .drop("_rn")
+  }
+}
+
+/** C2 whitelist / first-stop rules: compiled predicate, applied BEFORE the
+  * enrich joins so Catalyst can push it toward the scan. */
+object Whitelist {
+  def apply(df: DataFrame, rules: Seq[WhitelistRule]): DataFrame =
+    if (rules.isEmpty) df
+    else {
+      val pred = rules.map(r => ClauseCompiler.predicate(r.field, r.op, r.arg))
+        .reduce(_ || _)
+      df.filter(!coalesce(pred, lit(false)))
+    }
+}
+
+/** C3 IOC enrichment: one BROADCAST hash left-outer join per IOC kind against
+  * the (deduplicated) IOC dim, lowercased equality — the sig filter's
+  * check_ioc as relational lookup joins. Hit order inside `hits_ioc` is
+  * alphabetical by kind (domain, hash, ip, user) to match RefModel. */
+object IocEnrich {
+  /** kind → parsed field it probes. */
+  val KindField: Seq[(String, String)] =
+    Seq("domain" -> "dst_host", "hash" -> "hashv", "ip" -> "src_ip", "user" -> "user")
+
+  def apply(df: DataFrame, ioc: DataFrame): DataFrame = {
+    val dim = ioc.groupBy(col("kind"), lower(col("value")).as("value"))
+      .agg(max(col("score")).as("score"))
+    val joined = KindField.foldLeft(df) { case (acc, (kind, fld)) =>
+      val d = broadcast(dim.filter(col("kind") === kind)
+        .select(col("value").as(s"_${kind}_v"), col("score").as(s"_${kind}_s")))
+      acc.join(d, lower(col(fld)) === col(s"_${kind}_v"), "left_outer")
+        .drop(s"_${kind}_v")
+    }
+    val hitCols = KindField.map { case (kind, _) =>
+      when(col(s"_${kind}_s").isNotNull,
+        ClauseCompiler.hitStruct(0, s"ioc:$kind", col(s"_${kind}_s"), "ioc"))
+    }
+    joined.withColumn("hits_ioc", array_compact(array(hitCols: _*)))
+      .drop(KindField.map { case (k, _) => s"_${k}_s" }: _*)
+  }
+}
+
+/** C4 signature rules: every rule folded into one compiled boolean Column
+  * (clauses of the same rule_id AND together); hits collected with
+  * array_compact — zero joins, fully codegen'd. Guarded by parse_ok,
+  * matching RefModel (unparsed rows skip rule checks). */
+object SigRules {
+  def apply(df: DataFrame, rules: Seq[SigRule]): DataFrame = {
+    val hitCols = rules.groupBy(_.rule_id).toSeq.sortBy(_._1).map { case (rid, cl) =>
+      val pred = cl.map(c => ClauseCompiler.predicate(c.field, c.op, c.arg))
+        .reduce(_ && _)
+      when(col("parse_ok") && pred,
+        ClauseCompiler.hitStruct(rid, cl.head.name, lit(cl.map(_.score).sum), "sig"))
+    }
+    df.withColumn("hits_sig", array_compact(array(hitCols: _*)))
+  }
+}
+
+/** C5 reference-baseline check: broadcast left-outer join per checked field;
+  * a row whose (role, field, value) finds no baseline partner is an anomaly.
+  * (Left-outer + null-marker rather than left_anti because non-deviant rows
+  * must flow through with empty hits, not be filtered.) */
+object RefCheck {
+  val RefFields: Seq[String] = Seq("action", "dst_host")
+
+  def apply(df: DataFrame, ref: DataFrame, conf: PipelineConf): DataFrame = {
+    val joined = RefFields.foldLeft(df) { (acc, f) =>
+      val d = broadcast(ref.filter(col("field") === f)
+        .select(col("ref_key").as(s"_rk_$f"), col("value").as(s"_rv_$f"))
+        .distinct())
+      acc.join(d, col("role") === col(s"_rk_$f") && col(f) === col(s"_rv_$f"),
+        "left_outer").drop(s"_rk_$f")
+    }
+    val hitCols = RefFields.map { f =>
+      when(col("parse_ok") && col(f).isNotNull && col(f) =!= "" &&
+        col(s"_rv_$f").isNull,
+        ClauseCompiler.hitStruct(0, s"ref:$f", lit(conf.refScore), "ref"))
+    }
+    joined.withColumn("hits_ref", array_compact(array(hitCols: _*)))
+      .drop(RefFields.map(f => s"_rv_$f"): _*)
+  }
+}
+
+/** C6 first-seen (new-value check), batch form.
+  *
+  * NOT a `Window.partitionBy(value)` + row_number: a hot value (a user seen in
+  * millions of turns) would pile one giant window partition just to mark rank
+  * 1, and null values of garbage rows would pile another. Instead:
+  * aggregate each tracked field to `value → min(ts_us, conv_id, turn_idx)`
+  * (partial-aggregated map-side ⇒ skew-proof), anti-join the checkpointed
+  * `seen_values` state, and join the tiny firsts table back (AQE broadcasts it
+  * when small). */
+object FirstSeen {
+  def apply(df: DataFrame, conf: PipelineConf,
+      seenValues: Option[DataFrame] = None): DataFrame = {
+    val rowKey = struct(col("ts_us"), col("conv_id"), col("turn_idx"))
+    val withNew = conf.trackedFields.foldLeft(df) { (acc, f) =>
+      val cand = df.filter(col("parse_ok") && col(f).isNotNull && col(f) =!= "")
+      val firstsAll = cand.groupBy(col(f).as("_v"))
+        .agg(min(rowKey).as("_w"))
+      val firsts = seenValues match {
+        case Some(st) => firstsAll.join(
+          st.filter(col("field") === f).select(col("value").as("_v")),
+          Seq("_v"), "left_anti")
+        case None => firstsAll
+      }
+      acc.join(firsts, col(f) === col("_v") && rowKey === col("_w"), "left_outer")
+        .withColumn(s"_new_$f", col("_w").isNotNull)
+        .drop("_v", "_w")
+    }
+    val hitCols = conf.trackedFields.map { f =>
+      when(col(s"_new_$f"),
+        ClauseCompiler.hitStruct(0, s"new:$f", lit(conf.newValueScore), "new"))
+    }
+    withNew
+      .withColumn("hits_new", array_compact(array(hitCols: _*)))
+      .withColumn("first_seen",
+        conf.trackedFields.map(f => col(s"_new_$f")).reduce(_ || _))
+      .drop(conf.trackedFields.map(f => s"_new_$f"): _*)
+  }
+}
+
+/** C7 frequency check at second resolution, two-phase for skew:
+  * (1) per-(key, second) counts — partial aggregation gives map-side combine,
+  *     so a hot conversation never funnels raw rows into one partition;
+  * (2) trailing-window sum over the per-second series (tiny vs raw rows),
+  *     joined back on (key, second) — finer-grained than key alone.
+  * Re-fire suppression: first raw-hit row per (key, reset-bucket). */
+object Frequency {
+  def apply(df: DataFrame, conf: PipelineConf): DataFrame = {
+    val key = col(conf.freqKey)
+    val perSec = df.groupBy(key.as("_k"), col("ts_sec").as("_s"))
+      .agg(count(lit(1)).as("_c"))
+    val w = Window.partitionBy(col("_k")).orderBy(col("_s"))
+      .rangeBetween(-conf.freqWindowSec, 0)
+    val cnt = perSec.withColumn("_cnt", sum(col("_c")).over(w)).drop("_c")
+    val joined = df.join(cnt,
+      key === col("_k") && col("ts_sec") === col("_s"), "left_outer")
+      .withColumn("_raw", coalesce(col("_cnt") >= conf.freqThreshold, lit(false)))
+      .drop("_k", "_s", "_cnt")
+    val wb = Window
+      .partitionBy(key, floor(col("ts_sec") / conf.freqResetSec))
+      .orderBy(col("ts_us"), col("conv_id"), col("turn_idx"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    joined
+      .withColumn("freq_hit",
+        col("_raw") && sum(when(col("_raw"), 1).otherwise(0)).over(wb) === 1)
+      .withColumn("hits_freq",
+        when(col("freq_hit"),
+          array(ClauseCompiler.hitStruct(0, "freq", lit(conf.freqScore), "freq")))
+          .otherwise(array().cast("array<struct<rule_id:int,name:string,score:int,kind:string>>")))
+      .drop("_raw")
+  }
+}
+
+/** C8 scoring + severity banding. note = Σ hit scores via the higher-order
+  * `aggregate` function (no UDF); severity = highest band ≤ note. */
+object Scoring {
+  def apply(df: DataFrame, conf: PipelineConf): DataFrame = {
+    val hits = concat(col("hits_ioc"), col("hits_sig"), col("hits_ref"),
+      col("hits_new"), col("hits_freq"))
+    val withNote = df
+      .withColumn("hits", hits)
+      .withColumn("note",
+        aggregate(col("hits"), lit(0), (acc, h) => acc + h.getField("score")))
+      .drop("hits_ioc", "hits_sig", "hits_ref", "hits_new", "hits_freq")
+    val sev = conf.severityBands.sortBy(-_._1).foldLeft(None: Option[Column]) {
+      case (acc, (minNote, name)) =>
+        Some(acc match {
+          case None => when(col("note") >= minNote, name)
+          case Some(c) => c.when(col("note") >= minNote, name)
+        })
+    }.get.otherwise(conf.severityBands.head._2)
+    withNote
+      .withColumn("severity", sev)
+      .withColumn("routed", col("note") >= conf.firThreshold)
+  }
+}

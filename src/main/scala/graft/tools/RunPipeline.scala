@@ -1,0 +1,45 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+
+import graft.{Pipeline, RuleTables}
+import graft.model.{PipelineConf, SigRule, WhitelistRule}
+
+/** spark-submit entry point: run the full parse→enrich→route→aggregate
+  * pipeline over a transcripts table produced by [[GenFixtures]] (or any
+  * table of the BASELINE.json input shape).
+  *
+  * `RunPipeline <fixtureDir> <outDir>`
+  *
+  * Reads rule/lookup tables from the fixture dir, compiles whitelist + sig
+  * rules into the plan, writes per-severity alert sinks + rollups, prints
+  * per-sink counts from `observe` metrics.
+  */
+object RunPipeline {
+  def main(args: Array[String]): Unit = {
+    val Array(inDir, outDir) = args.take(2)
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    import spark.implicits._
+
+    val turns = spark.read.parquet(s"$inDir/transcripts")
+    val tables = RuleTables(
+      ioc = spark.read.parquet(s"$inDir/ioc"),
+      sigRules = spark.read.parquet(s"$inDir/sig_rules").as[SigRule].collect().toSeq,
+      ref = spark.read.parquet(s"$inDir/ref_baseline"),
+      whitelist = spark.read.parquet(s"$inDir/whitelist").as[WhitelistRule].collect().toSeq)
+    val conf = PipelineConf()
+
+    val enriched = Pipeline.enrich(turns, tables, conf)
+    val counts = Pipeline.route(spark, enriched, conf, outDir)
+    counts.toSeq.sortBy(_._1).foreach { case (s, n) => println(s"sink[$s] = $n") }
+    spark.stop()
+  }
+}

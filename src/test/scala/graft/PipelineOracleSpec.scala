@@ -1,0 +1,98 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, Row}
+
+import graft.fixtures.Gen
+import graft.model._
+import graft.oracle.RefModel
+
+/** THE correctness gate (SURVEY §5.1): the distributed pipeline must equal the
+  * single-threaded RefModel oracle row-for-row under (conv_id, turn_idx)
+  * ordering — note, severity, routing, every individual hit, and byte-equal
+  * text. */
+class PipelineOracleSpec extends SparkSuite {
+  import spark.implicits._
+
+  private def tables(fx: Gen.FixtureData): RuleTables =
+    RuleTables(fx.ioc.toDF(), fx.rules, fx.ref.toDF(), fx.whitelist)
+
+  private def hitsKey(hits: Seq[(Int, String, Int, String)]): String =
+    hits.map { case (rid, n, s, k) => s"$k:$n:$rid:$s" }.mkString(";")
+
+  private def sparkRows(enriched: DataFrame): Seq[(String, Int, String, Int, String, Boolean, Boolean, Boolean, String)] =
+    enriched.selectExpr("conv_id", "turn_idx", "text", "note", "severity",
+      "routed", "first_seen", "freq_hit",
+      "array_join(transform(hits, h -> concat(h.kind, ':', h.name, ':', h.rule_id, ':', h.score)), ';') as hk")
+      .collect().toSeq.map { r =>
+        (r.getString(0), r.getInt(1), r.getString(2), r.getInt(3), r.getString(4),
+          r.getBoolean(5), r.getBoolean(6), r.getBoolean(7), r.getString(8))
+      }.sortBy(t => (t._1, t._2))
+
+  private def oracleRows(rows: Seq[RefModel.OracleRow]) =
+    rows.map { o =>
+      (o.turn.conv_id, o.turn.turn_idx, o.turn.text, o.note, o.severity,
+        o.routed, o.firstSeen, o.freqHit,
+        hitsKey(o.hits.map(h => (h.rule_id, h.name, h.score, h.kind))))
+    }.sortBy(t => (t._1, t._2))
+
+  test("pipeline == RefModel oracle on 300-conv fixture (routed-row + hit-level equality)") {
+    val fx = Gen.fixture(300)
+    val turns = spark.createDataset(fx.turns).toDF()
+    val enriched = Pipeline.enrich(turns, tables(fx), fx.conf)
+    val got = sparkRows(enriched)
+    val want = oracleRows(RefModel(fx.turns, fx.ioc, fx.rules, fx.ref, fx.whitelist, fx.conf))
+    assert(got.size === want.size, s"row counts: got ${got.size} want ${want.size}")
+    got.zip(want).foreach { case (g, w) => assert(g === w) }
+  }
+
+  test("per-sink aggregate counts match oracle") {
+    val fx = Gen.fixture(300)
+    val turns = spark.createDataset(fx.turns).toDF()
+    val enriched = Pipeline.enrich(turns, tables(fx), fx.conf)
+    val got = Pipeline.rollupBySink(enriched).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val want = RefModel.sinkCounts(
+      RefModel(fx.turns, fx.ioc, fx.rules, fx.ref, fx.whitelist, fx.conf))
+    assert(got === want)
+    assert(want.values.sum > 0, "fixture must actually route rows")
+  }
+
+  test("note == sum of hit scores; severity sinks partition the routed set") {
+    val fx = Gen.fixture(100)
+    val turns = spark.createDataset(fx.turns).toDF()
+    val enriched = Pipeline.enrich(turns, tables(fx), fx.conf).cache()
+    val bad = enriched.selectExpr(
+      "note - aggregate(hits, 0, (a, h) -> a + h.score) as d").filter("d != 0").count()
+    assert(bad === 0)
+    val routed = enriched.filter("routed").count()
+    val bySev = Pipeline.rollupBySink(enriched).collect().map(_.getLong(1)).sum
+    assert(routed === bySev)
+    enriched.unpersist()
+  }
+
+  test("output text byte-equal to input under (conv_id, turn_idx) ordering") {
+    val fx = Gen.fixture(100)
+    val turns = spark.createDataset(fx.turns).toDF()
+    val enriched = Pipeline.enrich(turns, tables(fx), fx.conf)
+    val got = enriched.select("conv_id", "turn_idx", "text").collect()
+      .map(r => (r.getString(0), r.getInt(1)) -> r.getString(2)).toMap
+    val oracle = RefModel(fx.turns, fx.ioc, fx.rules, fx.ref, fx.whitelist, fx.conf)
+    oracle.foreach { o =>
+      assert(got((o.turn.conv_id, o.turn.turn_idx)) === o.turn.text)
+    }
+  }
+
+  test("determinism: output invariant under input repartitioning") {
+    val fx = Gen.fixture(80)
+    val t1 = spark.createDataset(fx.turns).toDF()
+    val t2 = spark.createDataset(scala.util.Random.shuffle(fx.turns)).toDF().repartition(13)
+    val a = sparkRows(Pipeline.enrich(t1, tables(fx), fx.conf))
+    val b = sparkRows(Pipeline.enrich(t2, tables(fx), fx.conf))
+    assert(a === b)
+  }
+
+  test("generator is deterministic") {
+    assert(Gen.transcripts(50) === Gen.transcripts(50))
+    assert(Gen.transcripts(50) !== Gen.transcripts(50, seed = 43))
+  }
+}
