@@ -1,0 +1,358 @@
+package graft.entry
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Training-data pipeline operators over `documents`/`embeddings`:
+  * deduplication (exact / n-gram Jaccard / MinHash-LSH / SimHash /
+  * embedding-cosine), similarity search (brute-force + LSH-bucketed ANN),
+  * and text analysis (language-ID, quality, tokens, fingerprint).
+  *
+  * Every op is engineered to be bit-reproducible in DuckDB: hashing uses
+  * md5 (identical hex in both engines), jaccard thresholds use integer
+  * arithmetic, cosine ranking rounds to 6 decimals before ordering.
+  * At 100 TB the quadratic ops (shingle join, brute-force ANN) are the
+  * *verification* paths; MinHash-LSH banding and sign-bit bucketing are the
+  * scale paths (candidates only within shared buckets). */
+object DataPipeQueries {
+
+  private def docs(s: SparkSession, d: String): DataFrame =
+    s.read.parquet(s"$d/documents.parquet")
+  private def embs(s: SparkSession, d: String): DataFrame =
+    s.read.parquet(s"$d/embeddings.parquet")
+
+  /** words / distinct word-3-gram shingles of `text` (Spark side). */
+  private val wordsCol = split(col("text"), " ")
+  private def shinglesExpr = expr(
+    """array_distinct(transform(sequence(0, size(split(text, ' ')) - 3),
+      |  i -> concat(element_at(split(text, ' '), i + 1), ' ',
+      |              element_at(split(text, ' '), i + 2), ' ',
+      |              element_at(split(text, ' '), i + 3))))""".stripMargin)
+
+  /** DuckDB: distinct word-3-gram shingle list (single line — embedded in
+    * stripMargin templates, so it must not start lines with '|'). */
+  private val shinglesSqlD =
+    "list_distinct(list_transform(range(len(str_split(text, ' ')) - 2), " +
+      "i -> str_split(text, ' ')[i + 1] || ' ' || str_split(text, ' ')[i + 2] " +
+      "|| ' ' || str_split(text, ' ')[i + 3]))"
+
+  /** first-4-hex-chars-of-md5 → int, cross-engine. */
+  private def h4Spark(c: Column): Column =
+    conv(substring(md5(c), 1, 4), 16, 10).cast("int")
+  private def h4Sql(e: String): String =
+    s"""((strpos('0123456789abcdef', substr(md5($e), 1, 1)) - 1) * 4096
+       | + (strpos('0123456789abcdef', substr(md5($e), 2, 1)) - 1) * 256
+       | + (strpos('0123456789abcdef', substr(md5($e), 3, 1)) - 1) * 16
+       | + (strpos('0123456789abcdef', substr(md5($e), 4, 1)) - 1))""".stripMargin
+
+  private val MinhashSeeds = 12
+  private val BandSize = 4 // → 3 bands of 4 hashes
+
+  // stopword dictionaries for the language-ID heuristic
+  private val langDicts: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "and", "of", "to", "a", "fast", "slow"),
+    "es" -> Seq("el", "la", "de", "y", "que"),
+    "de" -> Seq("der", "die", "das", "und", "ist"),
+    "fr" -> Seq("le", "et", "les", "des", "un"))
+
+  val all: Seq[Q] = Seq(
+
+    // ---- exact dedup: hash-groupBy, keep min doc_id per content hash.
+    // Input doubled (docs ∪ docs) so the op demonstrably collapses dups.
+    Q("dd_exact",
+      """SELECT fp, CAST(min(doc_id) AS BIGINT) AS keep_id, count(*) AS n_copies
+        |FROM (SELECT md5(text) AS fp, doc_id FROM documents
+        |      UNION ALL SELECT md5(text) AS fp, doc_id FROM documents)
+        |GROUP BY fp ORDER BY keep_id""".stripMargin) { (s, d) =>
+      val u = docs(s, d).select(md5(col("text")).as("fp"), col("doc_id"))
+      u.unionAll(u).groupBy("fp")
+        .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_copies"))
+        .orderBy("keep_id")
+    },
+
+    // ---- n-gram Jaccard near-dup pairs (integer-exact threshold 0.5):
+    // inverted shingle index self-join; τ check 3*inter >= na+nb.
+    Q("dd_ngram_jaccard",
+      s"""WITH sh AS (
+         |  SELECT doc_id, unnest($shinglesSqlD) AS sh,
+         |    len($shinglesSqlD) AS nsh
+         |  FROM documents WHERE len(str_split(text, ' ')) >= 3),
+         |pairs AS (
+         |  SELECT a.doc_id AS i, b.doc_id AS j, count(*) AS inter,
+         |    any_value(a.nsh) AS na, any_value(b.nsh) AS nb
+         |  FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+         |  GROUP BY a.doc_id, b.doc_id)
+         |SELECT i, j, CAST(inter AS BIGINT) AS inter,
+         |  CAST(na AS BIGINT) AS na, CAST(nb AS BIGINT) AS nb
+         |FROM pairs WHERE 3 * inter >= na + nb ORDER BY i, j""".stripMargin) { (s, d) =>
+      val sh = docs(s, d).filter(size(wordsCol) >= 3)
+        .select(col("doc_id"), shinglesExpr.as("shs"))
+        .select(col("doc_id"), size(col("shs")).as("nsh"), explode(col("shs")).as("sh"))
+      val a = sh.select(col("doc_id").as("i"), col("nsh").as("na"), col("sh"))
+      val b = sh.select(col("doc_id").as("j"), col("nsh").as("nb"), col("sh"))
+      a.join(b, a("sh") === b("sh") && a("i") < b("j"))
+        .groupBy("i", "j")
+        .agg(count(lit(1)).as("inter"), first(col("na")).as("na"), first(col("nb")).as("nb"))
+        .filter(lit(3) * col("inter") >= col("na") + col("nb"))
+        .select(col("i"), col("j"), col("inter"), col("na"), col("nb"))
+        .orderBy("i", "j")
+    },
+
+    // ---- MinHash + LSH banding: signature_k = lexicographic min of
+    // md5(shingle || '#k'); bands of 4 → candidate pairs share a band.
+    Q("dd_minhash_lsh",
+      s"""WITH sh AS (
+         |  SELECT doc_id, unnest($shinglesSqlD) AS sh FROM documents
+         |  WHERE len(str_split(text, ' ')) >= 3),
+         |mh AS (
+         |  SELECT doc_id, k.seed, min(md5(sh || '#' || CAST(k.seed AS VARCHAR))) AS mh
+         |  FROM sh, (SELECT unnest(range($MinhashSeeds)) AS seed) k
+         |  GROUP BY doc_id, k.seed),
+         |bands AS (
+         |  SELECT doc_id, seed // $BandSize AS band,
+         |    string_agg(mh, '|' ORDER BY seed) AS sig
+         |  FROM mh GROUP BY doc_id, seed // $BandSize)
+         |SELECT DISTINCT a.doc_id AS i, b.doc_id AS j
+         |FROM bands a JOIN bands b
+         |  ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id
+         |ORDER BY i, j""".stripMargin) { (s, d) =>
+      val sh = docs(s, d).filter(size(wordsCol) >= 3)
+        .select(col("doc_id"), explode(shinglesExpr).as("sh"))
+      val mh = sh
+        .select(col("doc_id"), col("sh"),
+          explode(sequence(lit(0), lit(MinhashSeeds - 1))).as("seed"))
+        .select(col("doc_id"), col("seed"),
+          md5(concat(col("sh"), lit("#"), col("seed").cast("string"))).as("h"))
+        .groupBy("doc_id", "seed").agg(min(col("h")).as("mh"))
+      val bands = mh
+        .withColumn("band", (col("seed") / BandSize).cast("int"))
+        .groupBy("doc_id", "band")
+        .agg(array_join(transform(array_sort(collect_list(struct(col("seed"), col("mh")))),
+          x => x.getField("mh")), "|").as("sig"))
+      val a = bands.select(col("doc_id").as("i"), col("band"), col("sig"))
+      val b = bands.select(col("doc_id").as("j"), col("band").as("band2"), col("sig").as("sig2"))
+      a.join(b, col("band") === col("band2") && col("sig") === col("sig2") && col("i") < col("j"))
+        .select("i", "j").distinct().orderBy("i", "j")
+    },
+
+    // ---- SimHash document fingerprint (16-bit, word tokens, md5-derived).
+    Q("dd_simhash",
+      s"""WITH tok AS (
+         |  SELECT doc_id, ${h4Sql("w")} AS h
+         |  FROM (SELECT doc_id, unnest(str_split(text, ' ')) AS w FROM documents)),
+         |bits AS (
+         |  SELECT doc_id, b.bit,
+         |    sum(CASE WHEN (h // (1 << b.bit)) % 2 = 1 THEN 1 ELSE -1 END) AS wsum
+         |  FROM tok, (SELECT unnest(range(16)) AS bit) b
+         |  GROUP BY doc_id, b.bit)
+         |SELECT doc_id, string_agg(CASE WHEN wsum >= 0 THEN '1' ELSE '0' END, ''
+         |  ORDER BY bit DESC) AS simhash
+         |FROM bits GROUP BY doc_id ORDER BY doc_id""".stripMargin) { (s, d) =>
+      val tok = docs(s, d)
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+        .select(col("doc_id"), h4Spark(col("w")).as("h"))
+      val bits = tok
+        .select(col("doc_id"), col("h"),
+          explode(sequence(lit(0), lit(15))).as("bit"))
+        .groupBy("doc_id", "bit")
+        .agg(sum(when(expr("(h div shiftleft(1, bit)) % 2 = 1"), 1)
+          .otherwise(-1)).as("wsum"))
+      bits.groupBy("doc_id")
+        .agg(array_join(transform(
+          array_sort(collect_list(struct((lit(15) - col("bit")).as("ord"),
+            when(col("wsum") >= 0, "1").otherwise("0").as("c")))),
+          x => x.getField("c")), "").as("simhash"))
+        .orderBy("doc_id")
+    },
+
+    // ---- embedding-cosine near-dup pairs (τ=0.3; ids only — float-safe).
+    Q("dd_embed_cosine",
+      """SELECT a.vec_id AS i, b.vec_id AS j
+        |FROM embeddings a, embeddings b
+        |WHERE a.vec_id < b.vec_id
+        |  AND list_cosine_similarity(a.embedding, b.embedding) >= 0.3
+        |ORDER BY i, j""".stripMargin) { (s, d) =>
+      val e = embs(s, d).select(col("vec_id"),
+        expr("transform(embedding, x -> cast(x as double))").as("v"))
+        .withColumn("nrm", sqrt(aggregate(expr("transform(v, x -> x * x)"),
+          lit(0.0), (a, x) => a + x)))
+      val a = e.select(col("vec_id").as("i"), col("v").as("va"), col("nrm").as("na"))
+      val b = e.select(col("vec_id").as("j"), col("v").as("vb"), col("nrm").as("nb"))
+      a.join(b, col("i") < col("j"))
+        .withColumn("dot", aggregate(zip_with(col("va"), col("vb"), (x, y) => x * y),
+          lit(0.0), (acc, x) => acc + x))
+        .filter(col("dot") / (col("na") * col("nb")) >= 0.3)
+        .select("i", "j").orderBy("i", "j")
+    },
+
+    // ---- brute-force ANN: top-10 cosine neighbors for query vecs 0..4;
+    // rank on round(cos, 6) desc then id — deterministic across engines.
+    Q("ann_topk_bruteforce",
+      """WITH q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings WHERE vec_id < 5),
+        |sc AS (
+        |  SELECT q.qid, e.vec_id AS nid,
+        |    round(list_cosine_similarity(q.qv, e.embedding), 6) AS c
+        |  FROM q, embeddings e WHERE e.vec_id != q.qid),
+        |rk AS (SELECT qid, nid,
+        |    row_number() OVER (PARTITION BY qid ORDER BY c DESC, nid) AS rank
+        |  FROM sc)
+        |SELECT qid, rank, nid FROM rk WHERE rank <= 10 ORDER BY qid, rank""".stripMargin) { (s, d) =>
+      val e = embs(s, d).select(col("vec_id"),
+        expr("transform(embedding, x -> cast(x as double))").as("v"))
+        .withColumn("nrm", sqrt(aggregate(expr("transform(v, x -> x * x)"),
+          lit(0.0), (a, x) => a + x)))
+      val q = e.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("qid"), col("v").as("qv"), col("nrm").as("qn"))
+      val n = e.select(col("vec_id").as("nid"), col("v").as("nv"), col("nrm").as("nn"))
+      val sc = q.join(n, col("nid") =!= col("qid"))
+        .withColumn("dot", aggregate(zip_with(col("qv"), col("nv"), (x, y) => x * y),
+          lit(0.0), (acc, x) => acc + x))
+        .withColumn("c", round(col("dot") / (col("qn") * col("nn")), 6))
+      sc.withColumn("rank", row_number().over(
+        Window.partitionBy("qid").orderBy(desc("c"), asc("nid"))))
+        .filter(col("rank") <= 10)
+        .select("qid", "rank", "nid").orderBy("qid", "rank")
+    },
+
+    // ---- LSH-bucketed ANN (scale path): bucket = sign bits of 8 fixed
+    // dims; candidates only within the query's bucket.
+    Q("ann_lsh_topk",
+      """WITH bk AS (
+        |  SELECT vec_id, embedding,
+        |    (CASE WHEN embedding[1] >= 0 THEN '1' ELSE '0' END)
+        |    || (CASE WHEN embedding[9] >= 0 THEN '1' ELSE '0' END)
+        |    || (CASE WHEN embedding[17] >= 0 THEN '1' ELSE '0' END)
+        |    || (CASE WHEN embedding[25] >= 0 THEN '1' ELSE '0' END)
+        |    || (CASE WHEN embedding[33] >= 0 THEN '1' ELSE '0' END)
+        |    || (CASE WHEN embedding[41] >= 0 THEN '1' ELSE '0' END)
+        |    || (CASE WHEN embedding[49] >= 0 THEN '1' ELSE '0' END)
+        |    || (CASE WHEN embedding[57] >= 0 THEN '1' ELSE '0' END) AS bucket
+        |  FROM embeddings),
+        |sc AS (
+        |  SELECT q.vec_id AS qid, e.vec_id AS nid,
+        |    round(list_cosine_similarity(q.embedding, e.embedding), 6) AS c
+        |  FROM bk q JOIN bk e ON q.bucket = e.bucket AND e.vec_id != q.vec_id
+        |  WHERE q.vec_id < 20),
+        |rk AS (SELECT qid, nid,
+        |    row_number() OVER (PARTITION BY qid ORDER BY c DESC, nid) AS rank FROM sc)
+        |SELECT qid, rank, nid FROM rk WHERE rank <= 3 ORDER BY qid, rank""".stripMargin) { (s, d) =>
+      val dims = Seq(1, 9, 17, 25, 33, 41, 49, 57)
+      val bucket = concat(dims.map(i =>
+        when(element_at(col("embedding"), i) >= 0, "1").otherwise("0")): _*)
+      val e = embs(s, d).select(col("vec_id"),
+        expr("transform(embedding, x -> cast(x as double))").as("v"),
+        bucket.as("bucket"))
+        .withColumn("nrm", sqrt(aggregate(expr("transform(v, x -> x * x)"),
+          lit(0.0), (a, x) => a + x)))
+      val q = e.filter(col("vec_id") < 20)
+        .select(col("vec_id").as("qid"), col("v").as("qv"), col("nrm").as("qn"),
+          col("bucket").as("qb"))
+      val n = e.select(col("vec_id").as("nid"), col("v").as("nv"), col("nrm").as("nn"),
+        col("bucket").as("nb2"))
+      q.join(n, col("qb") === col("nb2") && col("nid") =!= col("qid"))
+        .withColumn("dot", aggregate(zip_with(col("qv"), col("nv"), (x, y) => x * y),
+          lit(0.0), (acc, x) => acc + x))
+        .withColumn("c", round(col("dot") / (col("qn") * col("nn")), 6))
+        .withColumn("rank", row_number().over(
+          Window.partitionBy("qid").orderBy(desc("c"), asc("nid"))))
+        .filter(col("rank") <= 3)
+        .select("qid", "rank", "nid").orderBy("qid", "rank")
+    },
+
+    // ---- language-ID: stopword-hit scores per language, argmax.
+    Q("ta_langid", {
+      val scores = langDicts.map { case (l, ws) =>
+        s"len(list_filter(str_split(text, ' '), x -> x IN (${ws.map(w => s"'$w'").mkString(",")}))) AS s_$l"
+      }.mkString(",\n    ")
+      val keys = langDicts.map(_._1)
+      val pred = keys.init.zipWithIndex.map { case (l, i) =>
+        val rest = keys.drop(i + 1).map(k => s"s_$k")
+        s"WHEN s_$l >= greatest(${rest.mkString(",")}) THEN '$l'"
+      }.mkString(" ")
+      s"""SELECT doc_id, ${keys.map(k => s"CAST(s_$k AS INT) AS s_$k").mkString(", ")},
+         |  CASE $pred ELSE '${keys.last}' END AS pred_lang
+         |FROM (SELECT doc_id, $scores FROM documents)
+         |ORDER BY doc_id""".stripMargin
+    }) { (s, d) =>
+      val withScores = langDicts.foldLeft(docs(s, d)) { case (df, (l, ws)) =>
+        df.withColumn(s"s_$l",
+          size(filter(split(col("text"), " "), x => x.isin(ws.map(_.asInstanceOf[Any]): _*)))
+            .cast("int"))
+      }
+      val keys = langDicts.map(_._1)
+      val pred = keys.init.zipWithIndex.foldLeft(None: Option[Column]) {
+        case (acc, (l, i)) =>
+          val rest = keys.drop(i + 1).map(k => col(s"s_$k"))
+          val hi = if (rest.size == 1) rest.head else greatest(rest: _*)
+          val c = col(s"s_$l") >= hi
+          Some(acc match {
+            case None => when(c, l)
+            case Some(w) => w.when(c, l)
+          })
+      }.get.otherwise(keys.last)
+      withScores.select((Seq(col("doc_id")) ++ keys.map(k => col(s"s_$k")) :+
+        pred.as("pred_lang")): _*).orderBy("doc_id")
+    },
+
+    // ---- quality scoring: integer basis-point ratios (engine-exact).
+    Q("ta_quality",
+      """SELECT doc_id,
+        |  CAST(len(str_split(text, ' ')) AS INT) AS nw,
+        |  CAST(len(list_distinct(str_split(text, ' '))) AS INT) AS nd,
+        |  CAST((len(list_distinct(str_split(text, ' '))) * 10000) // len(str_split(text, ' ')) AS INT) AS uniq_bp,
+        |  CAST((length(replace(text, ' ', '')) * 10000) // length(text) AS INT) AS density_bp
+        |FROM documents ORDER BY doc_id""".stripMargin) { (s, d) =>
+      docs(s, d).select(col("doc_id"),
+        size(wordsCol).as("nw"),
+        size(array_distinct(wordsCol)).as("nd"),
+        floor(size(array_distinct(wordsCol)) * 10000 / size(wordsCol)).cast("int").as("uniq_bp"),
+        floor(length(regexp_replace(col("text"), " ", "")) * 10000 / length(col("text")))
+          .cast("int").as("density_bp"))
+        .orderBy("doc_id")
+    },
+
+    // ---- token counting: whitespace + BPE-ish regex sub-tokens.
+    Q("ta_tokens",
+      """SELECT doc_id,
+        |  CAST(len(str_split(text, ' ')) AS INT) AS n_ws,
+        |  CAST(len(regexp_extract_all(text, '[a-z]+|[A-Z][a-z]*|[0-9]+|[^a-zA-Z0-9 ]')) AS INT) AS n_bpe
+        |FROM documents ORDER BY doc_id""".stripMargin) { (s, d) =>
+      docs(s, d).select(col("doc_id"),
+        size(wordsCol).cast("int").as("n_ws"),
+        size(regexp_extract_all(col("text"),
+          lit("[a-z]+|[A-Z][a-z]*|[0-9]+|[^a-zA-Z0-9 ]"), lit(0))).cast("int").as("n_bpe"))
+        .orderBy("doc_id")
+    },
+
+    // ---- positional rolling fingerprint: Σ h4(word_i)·i mod 1e9+7.
+    Q("ta_fingerprint",
+      s"""SELECT doc_id,
+         |  CAST(CAST(list_sum(list_transform(range(len(str_split(text, ' '))),
+         |    i -> CAST(${h4Sql("(str_split(text, ' ')[i + 1])")} AS BIGINT) * (i + 1))) AS BIGINT)
+         |    % 1000000007 AS BIGINT) AS fp
+         |FROM documents ORDER BY doc_id""".stripMargin) { (s, d) =>
+      docs(s, d).select(col("doc_id"),
+        aggregate(
+          zip_with(wordsCol, sequence(lit(1), size(wordsCol)),
+            (w, i) => h4Spark(w).cast("long") * i.cast("long")),
+          lit(0L), (acc, x) => acc + x).as("acc"))
+        .select(col("doc_id"), (col("acc") % 1000000007L).as("fp"))
+        .orderBy("doc_id")
+    },
+
+    // ---- multimodal plumbing: binary payload column + deterministic
+    // stub decode (real decode libs absent in-sandbox; schema/partitioning
+    // and the typed decode seam are the real artifact — see
+    // graft.operators.Multimodal).
+    Q("mm_decode_stub",
+      s"""SELECT doc_id, CAST(octet_length(from_hex(md5(text))) AS INT) AS n_bytes,
+         |  CAST(1 + ${h4Sql("text")} % 1920 AS INT) AS width,
+         |  CAST(1 + ${h4Sql("text || '#h'")} % 1080 AS INT) AS height
+         |FROM documents ORDER BY doc_id""".stripMargin) { (s, d) =>
+      graft.operators.Multimodal.decodeStub(
+        docs(s, d).select(col("doc_id"), unhex(md5(col("text"))).as("payload"),
+          col("text")))
+        .orderBy("doc_id")
+    })
+}

@@ -1,0 +1,507 @@
+package graft.entry
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Pipeline
+import graft.functions.GrokCompiler
+import graft.model._
+import graft.operators._
+
+/** Driver-harness queries for every log-pipeline operator of SURVEY §2,
+  * exercised over /root/testdata via [[TestdataAdapter]], each with a DuckDB
+  * oracle. Names index into SURVEY §2 rows (p* = §2.2 transforms, c* = §2.4
+  * check chain, agg/win/set = §2.6–2.7, q* = general join/agg surface). */
+object LogQueries {
+
+  /** Pipeline conf tuned to the events table's time density (max 1-day burst
+    * per conversation is ~11 → threshold 8; dedup bucket = 1 day). */
+  val tconf: PipelineConf = PipelineConf(
+    freqWindowSec = 86400L, freqThreshold = 8, freqResetSec = 86400L,
+    dedupDelaySec = 86400L)
+
+  private val rx = GrokCompiler.compile(PipelineConf.DefaultGrok).regex
+
+  // ---------- shared Spark-side inputs ----------
+  private def T(s: SparkSession, d: String): DataFrame = TestdataAdapter.turns(s, d)
+  private def P(s: SparkSession, d: String): DataFrame = Parse(T(s, d), tconf)
+
+  // ---------- shared DuckDB CTEs ----------
+  private val parsedCte: String = s"""parsed AS (
+  SELECT conv_id, turn_idx, role, text, NULLIF(tool, '') AS tool, ts,
+    CAST(floor(epoch(ts)) AS BIGINT) AS ts_sec,
+    NULLIF(regexp_extract(text, '$rx', 1), '') AS action,
+    NULLIF(regexp_extract(text, '$rx', 2), '') AS usr,
+    NULLIF(regexp_extract(text, '$rx', 3), '') AS src_ip,
+    NULLIF(regexp_extract(text, '$rx', 4), '') AS dst_host,
+    CAST(NULLIF(regexp_extract(text, '$rx', 5), '') AS INT) AS status,
+    NULLIF(regexp_extract(text, '$rx', 6), '') AS hashv,
+    NULLIF(regexp_extract(text, '$rx', 7), '') AS uri,
+    regexp_matches(text, '$rx') AS parse_ok
+  FROM turns
+)"""
+
+  private def sqlT(body: String): String =
+    s"WITH ${TestdataAdapter.turnsCte}\n$body"
+  private def sqlP(body: String): String =
+    s"WITH ${TestdataAdapter.turnsCte},\n$parsedCte\n$body"
+  private def sqlFull(body: String): String =
+    s"WITH ${TestdataAdapter.turnsCte},\n$parsedCte,\n${TestdataTables.iocCte},\n" +
+      s"${TestdataTables.refCte},\n$enrichedCtes\n$body"
+
+  /** DuckDB rendering of one rule clause — mirror of ClauseCompiler. */
+  private def clauseSql(field: String, op: String, arg: String): String = {
+    val f = if (field == "user") "usr" else field
+    op match {
+      case "rx" => s"regexp_matches($f, '${arg.replace("'", "''")}')"
+      case "eq" => if (field == "status") s"$f = $arg" else s"$f = '$arg'"
+      case "in" =>
+        if (field == "status") s"$f IN (${arg})"
+        else s"$f IN (${arg.split(",").map(a => s"'$a'").mkString(",")})"
+      case "lt" => s"TRY_CAST($f AS DOUBLE) < $arg"
+      case "gt" => s"TRY_CAST($f AS DOUBLE) > $arg"
+      case "exists" => s"($f IS NOT NULL AND $f != '')"
+    }
+  }
+
+  private def rulePredSql(clauses: Seq[SigRule]): String =
+    clauses.map(c => clauseSql(c.field, c.op, c.arg)).mkString("(parse_ok AND ", " AND ", ")")
+
+  private val ruleGroups = TestdataTables.sigRules.groupBy(_.rule_id).toSeq.sortBy(_._1)
+
+  private val sigScoreSql: String = ruleGroups.map { case (_, cl) =>
+    s"(CASE WHEN ${rulePredSql(cl)} THEN ${cl.map(_.score).sum} ELSE 0 END)"
+  }.mkString(" + ")
+
+  /** The whole C1→C8 chain in DuckDB — the cross-engine differential of the
+    * full pipeline (dedup → whitelist → ioc/sig/ref → first-seen → freq →
+    * score/severity). Mirrors Pipeline.enrich with [[tconf]]. */
+  private val enrichedCtes: String = s"""dd AS (
+  SELECT * FROM (
+    SELECT p.*, row_number() OVER (PARTITION BY text, ts_sec // ${tconf.dedupDelaySec}
+      ORDER BY ts, conv_id, turn_idx) AS _rn FROM parsed p) WHERE _rn = 1
+),
+sv AS (SELECT * FROM dd WHERE NOT coalesce(action = 'signup', false)),
+en AS (
+  SELECT sv.*,
+    coalesce(iip.score, 0) + coalesce(idm.score, 0) + coalesce(ihs.score, 0)
+      + coalesce(ius.score, 0) AS ioc_score,
+    ($sigScoreSql) AS sig_score,
+    (CASE WHEN parse_ok AND action IS NOT NULL AND ra.value IS NULL THEN ${tconf.refScore} ELSE 0 END
+     + CASE WHEN parse_ok AND dst_host IS NOT NULL AND rh.value IS NULL THEN ${tconf.refScore} ELSE 0 END) AS ref_score
+  FROM sv
+  LEFT JOIN (SELECT lower(value) AS value, max(score) AS score FROM ioc WHERE kind = 'ip' GROUP BY 1) iip ON lower(sv.src_ip) = iip.value
+  LEFT JOIN (SELECT lower(value) AS value, max(score) AS score FROM ioc WHERE kind = 'domain' GROUP BY 1) idm ON lower(sv.dst_host) = idm.value
+  LEFT JOIN (SELECT lower(value) AS value, max(score) AS score FROM ioc WHERE kind = 'hash' GROUP BY 1) ihs ON lower(sv.hashv) = ihs.value
+  LEFT JOIN (SELECT lower(value) AS value, max(score) AS score FROM ioc WHERE kind = 'user' GROUP BY 1) ius ON lower(sv.usr) = ius.value
+  LEFT JOIN (SELECT DISTINCT ref_key, value FROM ref_baseline WHERE field = 'action') ra ON sv.role = ra.ref_key AND sv.action = ra.value
+  LEFT JOIN (SELECT DISTINCT ref_key, value FROM ref_baseline WHERE field = 'dst_host') rh ON sv.role = rh.ref_key AND sv.dst_host = rh.value
+),
+fs AS (
+  SELECT en.*,
+    (usr IS NOT NULL AND row_number() OVER (PARTITION BY usr ORDER BY ts, conv_id, turn_idx) = 1) AS new_user,
+    (dst_host IS NOT NULL AND row_number() OVER (PARTITION BY dst_host ORDER BY ts, conv_id, turn_idx) = 1) AS new_host
+  FROM en
+),
+fr AS (
+  SELECT fs.*, (count(*) OVER (PARTITION BY conv_id ORDER BY ts_sec
+    RANGE BETWEEN ${tconf.freqWindowSec} PRECEDING AND CURRENT ROW) >= ${tconf.freqThreshold}) AS _raw
+  FROM fs
+),
+fr2 AS (
+  SELECT fr.*, (_raw AND sum(CASE WHEN _raw THEN 1 ELSE 0 END) OVER (
+    PARTITION BY conv_id, ts_sec // ${tconf.freqResetSec}
+    ORDER BY ts, conv_id, turn_idx ROWS UNBOUNDED PRECEDING) = 1) AS freq_hit
+  FROM fr
+),
+sev AS (
+  SELECT conv_id, turn_idx,
+    ioc_score + sig_score + ref_score
+      + (CASE WHEN new_user THEN ${tconf.newValueScore} ELSE 0 END)
+      + (CASE WHEN new_host THEN ${tconf.newValueScore} ELSE 0 END)
+      + (CASE WHEN freq_hit THEN ${tconf.freqScore} ELSE 0 END) AS note
+  FROM fr2
+),
+scored AS (
+  SELECT conv_id, turn_idx, note,
+    CASE WHEN note >= 100 THEN 'critical' WHEN note >= 50 THEN 'high'
+         WHEN note >= 20 THEN 'medium' ELSE 'low' END AS severity,
+    note >= ${tconf.firThreshold} AS routed
+  FROM sev
+)"""
+
+  // =====================================================================
+  val all: Seq[Q] = Seq(
+
+    Q("p1_grok_parse", sqlP(
+      """SELECT conv_id, turn_idx, action, usr, src_ip, dst_host, status, hashv, uri, parse_ok
+        |FROM parsed ORDER BY conv_id, turn_idx""".stripMargin)) { (s, d) =>
+      P(s, d).select(col("conv_id"), col("turn_idx"), col("action"),
+        col("user").as("usr"), col("src_ip"), col("dst_host"), col("status"),
+        col("hashv"), col("uri"), col("parse_ok"))
+        .orderBy("conv_id", "turn_idx")
+    },
+
+    Q("p2_dissect", sqlT(
+      """SELECT conv_id, turn_idx, split_part(text, ' ', 1) AS tok0, split_part(text, ' ', 2) AS tok1
+        |FROM turns ORDER BY conv_id, turn_idx""".stripMargin)) { (s, d) =>
+      T(s, d).select(col("conv_id"), col("turn_idx"),
+        element_at(split(col("text"), " "), 1).as("tok0"),
+        element_at(split(col("text"), " "), 2).as("tok1"))
+        .orderBy("conv_id", "turn_idx")
+    },
+
+    Q("p3_mutate", sqlP(
+      """SELECT conv_id, turn_idx, upper(role) AS role_up, CAST(status AS BIGINT) AS status_l,
+        |  regexp_replace(uri, '[0-9]+', '#', 'g') AS uri_norm,
+        |  role || '|' || coalesce(action, '-') AS merged
+        |FROM parsed ORDER BY conv_id, turn_idx""".stripMargin)) { (s, d) =>
+      P(s, d).select(col("conv_id"), col("turn_idx"),
+        upper(col("role")).as("role_up"),
+        col("status").cast("long").as("status_l"),
+        regexp_replace(col("uri"), "[0-9]+", "#").as("uri_norm"),
+        concat(col("role"), lit("|"), coalesce(col("action"), lit("-"))).as("merged"))
+        .orderBy("conv_id", "turn_idx")
+    },
+
+    Q("p4_date", sqlT(
+      """SELECT conv_id, turn_idx, strftime(ts, '%Y-%m-%d %H') AS hour_s,
+        |  CAST(ts AS DATE) AS day, CAST(floor(epoch(ts)) AS BIGINT) AS ts_sec
+        |FROM turns ORDER BY conv_id, turn_idx""".stripMargin)) { (s, d) =>
+      T(s, d).select(col("conv_id"), col("turn_idx"),
+        date_format(col("ts"), "yyyy-MM-dd HH").as("hour_s"),
+        to_date(col("ts")).as("day"),
+        unix_timestamp(col("ts")).as("ts_sec"))
+        .orderBy("conv_id", "turn_idx")
+    },
+
+    Q("p5_kv", sqlT(
+      """SELECT conv_id, turn_idx,
+        |  NULLIF(regexp_extract(text, 'user=([^ ]+)', 1), '') AS kv_user,
+        |  NULLIF(regexp_extract(text, 'status=([^ ]+)', 1), '') AS kv_status
+        |FROM turns ORDER BY conv_id, turn_idx""".stripMargin)) { (s, d) =>
+      val kv = str_to_map(regexp_replace(col("text"), "^\\w+ ", ""), lit(" "), lit("="))
+      T(s, d).select(col("conv_id"), col("turn_idx"),
+        element_at(kv, "user").as("kv_user"),
+        element_at(kv, "status").as("kv_status"))
+        .orderBy("conv_id", "turn_idx")
+    },
+
+    Q("p6_json", s"""SELECT event_id, CAST(json_extract_string(props, '$$.k') AS INT) AS k_val
+      |FROM events ORDER BY event_id""".stripMargin) { (s, d) =>
+      s.read.parquet(s"$d/events.parquet")
+        .select(col("event_id"),
+          get_json_object(col("props"), "$.k").cast("int").as("k_val"))
+        .orderBy("event_id")
+    },
+
+    Q("p7_conditionals", sqlP(
+      """SELECT conv_id, turn_idx,
+        |  CASE WHEN status >= 500 THEN 'err5' WHEN status >= 400 THEN 'err4'
+        |       WHEN parse_ok THEN 'ok' ELSE 'unparsed' END AS route
+        |FROM parsed ORDER BY conv_id, turn_idx""".stripMargin)) { (s, d) =>
+      P(s, d).select(col("conv_id"), col("turn_idx"),
+        when(col("status") >= 500, "err5").when(col("status") >= 400, "err4")
+          .when(col("parse_ok"), "ok").otherwise("unparsed").as("route"))
+        .orderBy("conv_id", "turn_idx")
+    },
+
+    Q("p8_drop", sqlP(
+      """SELECT role, count(*) AS n FROM parsed WHERE parse_ok GROUP BY role ORDER BY role""")) { (s, d) =>
+      P(s, d).filter(col("parse_ok")).groupBy("role").agg(count(lit(1)).as("n"))
+        .orderBy("role")
+    },
+
+    Q("p9_clone", sqlT(
+      """SELECT c.copy, count(*) AS n FROM turns, (VALUES ('a'), ('b')) c(copy)
+        |GROUP BY c.copy ORDER BY c.copy""".stripMargin)) { (s, d) =>
+      T(s, d).select(explode(array(lit("a"), lit("b"))).as("copy"))
+        .groupBy("copy").agg(count(lit(1)).as("n")).orderBy("copy")
+    },
+
+    Q("p10_split_explode", sqlT(
+      """SELECT u AS token, count(*) AS n
+        |FROM (SELECT unnest(str_split(text, ' ')) AS u FROM turns)
+        |GROUP BY u ORDER BY n DESC, token LIMIT 20""".stripMargin)) { (s, d) =>
+      T(s, d).select(explode(split(col("text"), " ")).as("token"))
+        .groupBy("token").agg(count(lit(1)).as("n"))
+        .orderBy(desc("n"), asc("token")).limit(20)
+    },
+
+    Q("p11_prune", sqlT(
+      """SELECT conv_id, turn_idx, role FROM turns WHERE role = 'tool'
+        |ORDER BY conv_id, turn_idx""".stripMargin)) { (s, d) =>
+      T(s, d).filter(col("role") === "tool").select("conv_id", "turn_idx", "role")
+        .orderBy("conv_id", "turn_idx")
+    },
+
+    Q("p12_fingerprint", sqlT(
+      """SELECT conv_id, turn_idx, sha256(text) AS fp, md5(role || text) AS fp2
+        |FROM turns ORDER BY conv_id, turn_idx""".stripMargin)) { (s, d) =>
+      T(s, d).select(col("conv_id"), col("turn_idx"),
+        sha2(col("text"), 256).as("fp"),
+        md5(concat(col("role"), col("text"))).as("fp2"))
+        .orderBy("conv_id", "turn_idx")
+    },
+
+    Q("p13_anonymize", sqlP(
+      """SELECT conv_id, turn_idx,
+        |  CASE WHEN usr IS NOT NULL THEN sha256('s#' || usr) END AS user_anon,
+        |  CASE WHEN src_ip IS NOT NULL THEN regexp_replace(src_ip, '\.[0-9]+$', '.x') END AS ip_masked
+        |FROM parsed ORDER BY conv_id, turn_idx""".stripMargin)) { (s, d) =>
+      P(s, d).select(col("conv_id"), col("turn_idx"),
+        sha2(concat(lit("s#"), col("user")), 256).as("user_anon"),
+        regexp_replace(col("src_ip"), "\\.[0-9]+$", ".x").as("ip_masked"))
+        .orderBy("conv_id", "turn_idx")
+    },
+
+    Q("p14_cidr", sqlP(
+      """SELECT conv_id, turn_idx,
+        |  (ipn BETWEEN 167772160 AND 184549375) AS in_10_8,
+        |  (ipn BETWEEN 3405803520 AND 3405803775) AS in_testnet
+        |FROM (
+        |  SELECT conv_id, turn_idx,
+        |    CAST(split_part(src_ip, '.', 1) AS BIGINT) * 16777216
+        |    + CAST(split_part(src_ip, '.', 2) AS BIGINT) * 65536
+        |    + CAST(split_part(src_ip, '.', 3) AS BIGINT) * 256
+        |    + CAST(split_part(src_ip, '.', 4) AS BIGINT) AS ipn
+        |  FROM parsed WHERE parse_ok)
+        |ORDER BY conv_id, turn_idx""".stripMargin)) { (s, d) =>
+      val part = (i: Int) => element_at(split(col("src_ip"), "\\."), i).cast("long")
+      P(s, d).filter(col("parse_ok"))
+        .withColumn("ipn",
+          part(1) * 16777216L + part(2) * 65536L + part(3) * 256L + part(4))
+        .select(col("conv_id"), col("turn_idx"),
+          col("ipn").between(167772160L, 184549375L).as("in_10_8"),
+          col("ipn").between(3405803520L, 3405803775L).as("in_testnet"))
+        .orderBy("conv_id", "turn_idx")
+    },
+
+    Q("p15_translate", sqlP(
+      """SELECT coalesce(CASE action WHEN 'click' THEN 'nav' WHEN 'view' THEN 'nav'
+        |    WHEN 'purchase' THEN 'commerce' WHEN 'signup' THEN 'account'
+        |    WHEN 'error' THEN 'fault' WHEN 'exfil' THEN 'attack' END, 'other') AS category,
+        |  count(*) AS n
+        |FROM parsed GROUP BY 1 ORDER BY category""".stripMargin)) { (s, d) =>
+      val dict = typedlit(Map("click" -> "nav", "view" -> "nav",
+        "purchase" -> "commerce", "signup" -> "account",
+        "error" -> "fault", "exfil" -> "attack"))
+      P(s, d).select(coalesce(element_at(dict, col("action")), lit("other")).as("category"))
+        .groupBy("category").agg(count(lit(1)).as("n")).orderBy("category")
+    },
+
+    // ---------- the sig-filter check chain on testdata ----------
+    Q("c1_dedup_fp", sqlP(
+      s"""SELECT count(*) AS n FROM (
+         |  SELECT row_number() OVER (PARTITION BY text, ts_sec // ${tconf.dedupDelaySec}
+         |    ORDER BY ts, conv_id, turn_idx) AS rn FROM parsed) WHERE rn = 1""".stripMargin)) { (s, d) =>
+      Dedup(P(s, d), tconf).agg(count(lit(1)).as("n"))
+    },
+
+    Q("c2_whitelist", sqlP(
+      """SELECT action, count(*) AS n FROM parsed
+        |WHERE NOT coalesce(action = 'signup', false)
+        |GROUP BY action ORDER BY action NULLS FIRST""".stripMargin)) { (s, d) =>
+      Whitelist(P(s, d), TestdataTables.whitelist)
+        .groupBy("action").agg(count(lit(1)).as("n"))
+        .orderBy(asc_nulls_first("action"))
+    },
+
+    Q("c3_ioc", sqlFull(
+      """SELECT conv_id, turn_idx, ioc_score FROM en WHERE ioc_score > 0
+        |ORDER BY conv_id, turn_idx""".stripMargin)) { (s, d) =>
+      import s.implicits._
+      val enr = IocEnrich(Whitelist(Dedup(P(s, d), tconf), TestdataTables.whitelist),
+        TestdataTables.ioc.toDF())
+      enr.select(col("conv_id"), col("turn_idx"),
+        aggregate(col("hits_ioc"), lit(0), (a, h) => a + h.getField("score")).as("ioc_score"))
+        .filter(col("ioc_score") > 0)
+        .orderBy("conv_id", "turn_idx")
+    },
+
+    Q("c4_sig_rules", sqlFull(
+      s"""SELECT conv_id, turn_idx, sig_score, ${ruleGroups.map { case (rid, cl) =>
+        s"(CASE WHEN ${rulePredSql(cl)} THEN '$rid' END)"
+      }.mkString("concat_ws(',', ", ", ", ")")} AS rule_ids
+         |FROM en WHERE sig_score > 0 ORDER BY conv_id, turn_idx""".stripMargin)) { (s, d) =>
+      val enr = SigRules(Whitelist(Dedup(P(s, d), tconf), TestdataTables.whitelist),
+        TestdataTables.sigRules)
+      enr.select(col("conv_id"), col("turn_idx"),
+        aggregate(col("hits_sig"), lit(0), (a, h) => a + h.getField("score")).as("sig_score"),
+        array_join(transform(col("hits_sig"), h => h.getField("rule_id").cast("string")), ",").as("rule_ids"))
+        .filter(col("sig_score") > 0)
+        .orderBy("conv_id", "turn_idx")
+    },
+
+    Q("c5_ref_check", sqlFull(
+      """SELECT conv_id, turn_idx,
+        |  (parse_ok AND action IS NOT NULL AND ra.value IS NULL) AS dev_action,
+        |  (parse_ok AND dst_host IS NOT NULL AND rh.value IS NULL) AS dev_host
+        |FROM sv
+        |LEFT JOIN (SELECT DISTINCT ref_key, value FROM ref_baseline WHERE field = 'action') ra
+        |  ON sv.role = ra.ref_key AND sv.action = ra.value
+        |LEFT JOIN (SELECT DISTINCT ref_key, value FROM ref_baseline WHERE field = 'dst_host') rh
+        |  ON sv.role = rh.ref_key AND sv.dst_host = rh.value
+        |WHERE (parse_ok AND action IS NOT NULL AND ra.value IS NULL)
+        |   OR (parse_ok AND dst_host IS NOT NULL AND rh.value IS NULL)
+        |ORDER BY conv_id, turn_idx""".stripMargin)) { (s, d) =>
+      import s.implicits._
+      val enr = RefCheck(Whitelist(Dedup(P(s, d), tconf), TestdataTables.whitelist),
+        TestdataTables.refBaseline.toDF(), tconf)
+      enr.select(col("conv_id"), col("turn_idx"),
+        exists(col("hits_ref"), h => h.getField("name") === "ref:action").as("dev_action"),
+        exists(col("hits_ref"), h => h.getField("name") === "ref:dst_host").as("dev_host"))
+        .filter(col("dev_action") || col("dev_host"))
+        .orderBy("conv_id", "turn_idx")
+    },
+
+    Q("c6_first_seen", sqlFull(
+      """SELECT conv_id, turn_idx, new_user, new_host FROM fs
+        |WHERE new_user OR new_host ORDER BY conv_id, turn_idx""".stripMargin)) { (s, d) =>
+      import s.implicits._
+      val base = RefCheck(SigRules(IocEnrich(
+        Whitelist(Dedup(P(s, d), tconf), TestdataTables.whitelist),
+        TestdataTables.ioc.toDF()), TestdataTables.sigRules),
+        TestdataTables.refBaseline.toDF(), tconf)
+      FirstSeen(base, tconf)
+        .select(col("conv_id"), col("turn_idx"),
+          exists(col("hits_new"), h => h.getField("name") === "new:user").as("new_user"),
+          exists(col("hits_new"), h => h.getField("name") === "new:dst_host").as("new_host"))
+        .filter(col("new_user") || col("new_host"))
+        .orderBy("conv_id", "turn_idx")
+    },
+
+    Q("c7_frequency", sqlFull(
+      """SELECT conv_id, turn_idx FROM fr2 WHERE freq_hit ORDER BY conv_id, turn_idx""")) { (s, d) =>
+      import s.implicits._
+      val base = RefCheck(SigRules(IocEnrich(
+        Whitelist(Dedup(P(s, d), tconf), TestdataTables.whitelist),
+        TestdataTables.ioc.toDF()), TestdataTables.sigRules),
+        TestdataTables.refBaseline.toDF(), tconf)
+      Frequency(FirstSeen(base, tconf), tconf)
+        .filter(col("freq_hit")).select("conv_id", "turn_idx")
+        .orderBy("conv_id", "turn_idx")
+    },
+
+    Q("c8_scoring", sqlFull(
+      """SELECT conv_id, turn_idx, note, severity, routed FROM scored
+        |ORDER BY conv_id, turn_idx""".stripMargin)) { (s, d) =>
+      Pipeline.enrich(T(s, d), TestdataTables.rules(s), tconf)
+        .select("conv_id", "turn_idx", "note", "severity", "routed")
+        .orderBy("conv_id", "turn_idx")
+    },
+
+    Q("c9_route_counts", sqlFull(
+      """SELECT severity, count(*) AS n FROM scored WHERE routed
+        |GROUP BY severity ORDER BY severity""".stripMargin)) { (s, d) =>
+      Pipeline.rollupBySink(Pipeline.enrich(T(s, d), TestdataTables.rules(s), tconf))
+        .orderBy("severity")
+    },
+
+    // ---------- aggregations / windows / set ops ----------
+    Q("agg_rollup_signature", sqlP(
+      ruleGroups.map { case (rid, cl) =>
+        s"""SELECT $rid AS rule_id, '${cl.head.name}' AS name, count(*) AS n_hits,
+           |  CAST(count(*) * ${cl.map(_.score).sum} AS BIGINT) AS score_sum
+           |FROM parsed WHERE ${rulePredSql(cl)} HAVING count(*) > 0""".stripMargin
+      }.mkString("SELECT * FROM (\n", "\nUNION ALL\n", "\n) ORDER BY rule_id"))) { (s, d) =>
+      SigRules(P(s, d), TestdataTables.sigRules)
+        .select(explode(col("hits_sig")).as("h"))
+        .groupBy(col("h.rule_id").as("rule_id"), col("h.name").as("name"))
+        .agg(count(lit(1)).as("n_hits"), sum(col("h.score")).cast("long").as("score_sum"))
+        .orderBy("rule_id")
+    },
+
+    Q("agg_rollup_cube", sqlP(
+      """SELECT coalesce(role, '(all)') AS role_g,
+        |  coalesce(CAST(parse_ok AS VARCHAR), '(all)') AS parse_ok_g, count(*) AS n
+        |FROM parsed GROUP BY ROLLUP(role, parse_ok)
+        |ORDER BY role_g, parse_ok_g""".stripMargin)) { (s, d) =>
+      P(s, d).rollup("role", "parse_ok").agg(count(lit(1)).as("n"))
+        .select(coalesce(col("role"), lit("(all)")).as("role_g"),
+          coalesce(col("parse_ok").cast("string"), lit("(all)")).as("parse_ok_g"),
+          col("n"))
+        .orderBy("role_g", "parse_ok_g")
+    },
+
+    Q("agg_distinct", sqlP(
+      """SELECT role, count(DISTINCT usr) AS n_users, count(*) AS n
+        |FROM parsed GROUP BY role ORDER BY role""".stripMargin)) { (s, d) =>
+      P(s, d).groupBy("role")
+        .agg(countDistinct(col("user")).as("n_users"), count(lit(1)).as("n"))
+        .orderBy("role")
+    },
+
+    Q("win_lag_delta", sqlP(
+      """SELECT conv_id, turn_idx,
+        |  ts_sec - lag(ts_sec) OVER (PARTITION BY conv_id ORDER BY turn_idx) AS gap
+        |FROM parsed ORDER BY conv_id, turn_idx""".stripMargin)) { (s, d) =>
+      val w = Window.partitionBy("conv_id").orderBy("turn_idx")
+      P(s, d).select(col("conv_id"), col("turn_idx"),
+        (col("ts_sec") - lag("ts_sec", 1).over(w)).as("gap"))
+        .orderBy("conv_id", "turn_idx")
+    },
+
+    Q("win_topk", sqlT(
+      """SELECT conv_id, count(*) AS n FROM turns GROUP BY conv_id
+        |ORDER BY n DESC, conv_id LIMIT 10""".stripMargin)) { (s, d) =>
+      T(s, d).groupBy("conv_id").agg(count(lit(1)).as("n"))
+        .orderBy(desc("n"), asc("conv_id")).limit(10)
+    },
+
+    Q("set_except", sqlP(
+      """SELECT * FROM (
+        |  SELECT conv_id, turn_idx FROM parsed WHERE status = 503
+        |  EXCEPT ALL
+        |  SELECT conv_id, turn_idx FROM parsed WHERE action = 'exfil')
+        |ORDER BY conv_id, turn_idx""".stripMargin)) { (s, d) =>
+      val p = P(s, d)
+      p.filter(col("status") === 503).select("conv_id", "turn_idx")
+        .exceptAll(p.filter(col("action") === "exfil").select("conv_id", "turn_idx"))
+        .orderBy("conv_id", "turn_idx")
+    },
+
+    // ---------- general join/agg surface on the TPC-H-ish tables ----------
+    Q("q1_lineitem_agg",
+      """SELECT l_returnflag, l_linestatus,
+        |  CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty, count(*) AS n
+        |FROM lineitem GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin) { (s, d) =>
+      s.read.parquet(s"$d/lineitem.parquet")
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(sum(col("l_quantity").cast("long")).as("sum_qty"), count(lit(1)).as("n"))
+        .orderBy("l_returnflag", "l_linestatus")
+    },
+
+    Q("q2_join_broadcast",
+      """SELECT o_orderstatus, count(*) AS n, count(DISTINCT c.c_nationkey) AS n_nations
+        |FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+        |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin) { (s, d) =>
+      val o = s.read.parquet(s"$d/orders.parquet")
+      val c = s.read.parquet(s"$d/customer.parquet")
+      o.join(broadcast(c), o("o_custkey") === c("c_custkey"))
+        .groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("n"), countDistinct(col("c_nationkey")).as("n_nations"))
+        .orderBy("o_orderstatus")
+    },
+
+    Q("q3_join_multi",
+      """SELECT n_name, count(*) AS n, CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS qty
+        |FROM lineitem l
+        |JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |JOIN customer c ON o.o_custkey = c.c_custkey
+        |JOIN nation n ON c.c_nationkey = n.n_nationkey
+        |GROUP BY n_name ORDER BY n_name""".stripMargin) { (s, d) =>
+      val l = s.read.parquet(s"$d/lineitem.parquet")
+      val o = s.read.parquet(s"$d/orders.parquet")
+      val c = s.read.parquet(s"$d/customer.parquet")
+      val n = s.read.parquet(s"$d/nation.parquet")
+      l.join(o, l("l_orderkey") === o("o_orderkey"))
+        .join(broadcast(c), o("o_custkey") === c("c_custkey"))
+        .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+        .groupBy("n_name")
+        .agg(count(lit(1)).as("n"), sum(col("l_quantity").cast("long")).as("qty"))
+        .orderBy("n_name")
+    })
+}

@@ -1,0 +1,45 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+
+/** Multimodal-column plumbing (SURVEY extension rows): media payloads travel
+  * as opaque `binary` columns + typed metadata; decode / feature-extract runs
+  * per-partition behind a narrow seam so a real decoder (image/audio libs —
+  * absent in this sandbox) can be dropped in without touching the plan.
+  *
+  * The STUB decoder is deterministic (md5-derived fake dimensions) so the
+  * Spark-side plumbing — schema, partition-wise batching, typed output — is
+  * real and oracle-testable even though the decode itself is fake. */
+object Multimodal {
+
+  final case class MediaIn(doc_id: Long, payload: Array[Byte], text: String)
+  final case class MediaMeta(doc_id: Long, n_bytes: Int, width: Int, height: Int)
+
+  /** Per-partition "decoder" — the drop-in point for a real codec. */
+  trait Decoder extends Serializable {
+    def decode(m: MediaIn): MediaMeta
+  }
+
+  /** Deterministic fake: dimensions derived from md5 of the source text. */
+  object StubDecoder extends Decoder {
+    private def h4(s: String): Int =
+      Integer.parseInt(graft.fixtures.Gen.md5(s).substring(0, 4), 16)
+    def decode(m: MediaIn): MediaMeta =
+      MediaMeta(m.doc_id, m.payload.length, 1 + h4(m.text) % 1920,
+        1 + h4(m.text + "#h") % 1080)
+  }
+
+  /** (doc_id, payload: binary, text) → (doc_id, n_bytes, width, height).
+    * mapPartitions so a real decoder can amortize per-batch init (model
+    * load, codec context) once per partition — the Scala analogue of a
+    * pandas-batched UDF. */
+  def decodeStub(df: DataFrame, decoder: Decoder = StubDecoder): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col("doc_id").cast("long").as("doc_id"), col("payload"), col("text"))
+      .as[MediaIn]
+      .mapPartitions { it => it.map(decoder.decode) }
+      .toDF()
+  }
+}

@@ -44,14 +44,17 @@ object ClauseCompiler {
 object Parse {
   def apply(turns: DataFrame, conf: PipelineConf): DataFrame = {
     val g = GrokCompiler.compile(conf.grokPattern)
+    // NTZ inputs (driver testdata) are pinned to the UTC session zone so
+    // epoch arithmetic is deterministic and matches the DuckDB oracle.
+    val tsUtc = col("ts").cast("timestamp")
     turns
       .withColumn("_g", RegexStructExtract.grokStruct(col("text"), g))
       .select(
         col("conv_id"), col("turn_idx"), col("role"), col("text"),
         nullif(col("tool"), lit("")).as("tool"),
         col("ts"),
-        unix_timestamp(col("ts")).as("ts_sec"),
-        unix_micros(col("ts")).as("ts_us"),
+        unix_timestamp(tsUtc).as("ts_sec"),
+        unix_micros(tsUtc).as("ts_us"),
         col("_g.action").as("action"),
         col("_g.user").as("user"),
         col("_g.src_ip").as("src_ip"),
