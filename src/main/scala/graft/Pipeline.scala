@@ -27,10 +27,17 @@ case class RuleTables(
   */
 object Pipeline {
 
-  /** State carried across runs (resume): previously seen first-seen values and
-    * fingerprint buckets. Empty for a fresh run. */
-  case class State(seenValues: Option[DataFrame], fpSeen: Option[DataFrame])
-  object State { val empty: State = State(None, None) }
+  /** State carried across runs (resume): seen first-seen values, fingerprint
+    * buckets, per-(key, sec) frequency counts, and fired frequency buckets.
+    * Empty for a fresh run. Contract: batches are processed in ascending,
+    * non-overlapping time ranges (manifest-enforced), under which
+    * run(A ∪ B) == run(B, state after A) exactly — see IncrementalSpec. */
+  case class State(
+      seenValues: Option[DataFrame],
+      fpSeen: Option[DataFrame],
+      freqCounts: Option[DataFrame] = None,
+      firedBuckets: Option[DataFrame] = None)
+  object State { val empty: State = State(None, None, None, None) }
 
   /** The pure transform: transcripts in, enriched detection rows out. */
   def enrich(turns: DataFrame, tables: RuleTables, conf: PipelineConf,
@@ -41,7 +48,8 @@ object Pipeline {
     val enriched = RefCheck(
       SigRules(IocEnrich(survivors, tables.ioc), tables.sigRules),
       tables.ref, conf)
-    val stateful = Frequency(FirstSeen(enriched, conf, state.seenValues), conf)
+    val stateful = Frequency(FirstSeen(enriched, conf, state.seenValues), conf,
+      state.freqCounts, state.firedBuckets)
     Scoring(stateful, conf)
   }
 

@@ -213,12 +213,29 @@ object FirstSeen {
   *     so a hot conversation never funnels raw rows into one partition;
   * (2) trailing-window sum over the per-second series (tiny vs raw rows),
   *     joined back on (key, second) — finer-grained than key alone.
-  * Re-fire suppression: first raw-hit row per (key, reset-bucket). */
+  * Re-fire suppression: first raw-hit row per (key, reset-bucket).
+  *
+  * Cross-run state (resume): `priorCounts` = per-(key, sec) counts from
+  * earlier runs (so a conversation spanning a batch boundary still counts its
+  * trailing window), `firedBuckets` = (key, reset-bucket) pairs that already
+  * fired (re-fire suppression survives the boundary). */
 object Frequency {
-  def apply(df: DataFrame, conf: PipelineConf): DataFrame = {
-    val key = col(conf.freqKey)
-    val perSec = df.groupBy(key.as("_k"), col("ts_sec").as("_s"))
+  /** Per-(key, sec) counts of this batch — also the freq state delta. */
+  def perSecCounts(df: DataFrame, conf: PipelineConf): DataFrame =
+    df.groupBy(col(conf.freqKey).as("_k"), col("ts_sec").as("_s"))
       .agg(count(lit(1)).as("_c"))
+
+  def apply(df: DataFrame, conf: PipelineConf,
+      priorCounts: Option[DataFrame] = None,
+      firedBuckets: Option[DataFrame] = None): DataFrame = {
+    val key = col(conf.freqKey)
+    val batchCounts = perSecCounts(df, conf)
+    val perSec = priorCounts match {
+      case Some(p) => batchCounts
+        .unionByName(p.select(col("key").as("_k"), col("sec").as("_s"), col("cnt").as("_c")))
+        .groupBy("_k", "_s").agg(sum(col("_c")).as("_c"))
+      case None => batchCounts
+    }
     val w = Window.partitionBy(col("_k")).orderBy(col("_s"))
       .rangeBetween(-conf.freqWindowSec, 0)
     val cnt = perSec.withColumn("_cnt", sum(col("_c")).over(w)).drop("_c")
@@ -230,20 +247,42 @@ object Frequency {
       .partitionBy(key, floor(col("ts_sec") / conf.freqResetSec))
       .orderBy(col("ts_us"), col("conv_id"), col("turn_idx"))
       .rowsBetween(Window.unboundedPreceding, 0)
-    joined
-      .withColumn("freq_hit",
+    val withFirst = joined
+      .withColumn("_first_raw",
         col("_raw") && sum(when(col("_raw"), 1).otherwise(0)).over(wb) === 1)
+    val suppressed = firedBuckets match {
+      case Some(fb) =>
+        val dim = fb.select(col("key").as("_fk"), col("reset_bucket").as("_fb"),
+          lit(1).as("_fired"))
+        withFirst.join(dim,
+          key === col("_fk") &&
+            floor(col("ts_sec") / conf.freqResetSec) === col("_fb"), "left_outer")
+          .withColumn("freq_hit", col("_first_raw") && col("_fired").isNull)
+          .drop("_fk", "_fb", "_fired")
+      case None => withFirst.withColumn("freq_hit", col("_first_raw"))
+    }
+    suppressed
       .withColumn("hits_freq",
         when(col("freq_hit"),
           array(ClauseCompiler.hitStruct(0, "freq", lit(conf.freqScore), "freq")))
           .otherwise(array().cast("array<struct<rule_id:int,name:string,score:int,kind:string>>")))
-      .drop("_raw")
+      .drop("_raw", "_first_raw")
   }
 }
 
 /** C8 scoring + severity banding. note = Σ hit scores via the higher-order
   * `aggregate` function (no UDF); severity = highest band ≤ note. */
 object Scoring {
+  /** severity = name of the highest band whose floor ≤ note. */
+  def severityExpr(conf: PipelineConf): Column =
+    conf.severityBands.sortBy(-_._1).foldLeft(None: Option[Column]) {
+      case (acc, (minNote, name)) =>
+        Some(acc match {
+          case None => when(col("note") >= minNote, name)
+          case Some(c) => c.when(col("note") >= minNote, name)
+        })
+    }.get.otherwise(conf.severityBands.head._2)
+
   def apply(df: DataFrame, conf: PipelineConf): DataFrame = {
     val hits = concat(col("hits_ioc"), col("hits_sig"), col("hits_ref"),
       col("hits_new"), col("hits_freq"))
@@ -252,15 +291,8 @@ object Scoring {
       .withColumn("note",
         aggregate(col("hits"), lit(0), (acc, h) => acc + h.getField("score")))
       .drop("hits_ioc", "hits_sig", "hits_ref", "hits_new", "hits_freq")
-    val sev = conf.severityBands.sortBy(-_._1).foldLeft(None: Option[Column]) {
-      case (acc, (minNote, name)) =>
-        Some(acc match {
-          case None => when(col("note") >= minNote, name)
-          case Some(c) => c.when(col("note") >= minNote, name)
-        })
-    }.get.otherwise(conf.severityBands.head._2)
     withNote
-      .withColumn("severity", sev)
+      .withColumn("severity", severityExpr(conf))
       .withColumn("routed", col("note") >= conf.firThreshold)
   }
 }

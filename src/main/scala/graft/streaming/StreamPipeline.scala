@@ -1,0 +1,109 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, Trigger}
+
+import graft.RuleTables
+import graft.model._
+import graft.operators._
+
+/** Structured Streaming variant of the pipeline (SURVEY §2.8). The reference
+  * is an always-on Logstash daemon; our primary mode is batch-incremental
+  * (graft.Incremental) and this is the thin streaming twin:
+  *
+  *  - parse / whitelist / IOC / sig / ref scoring: identical stage objects —
+  *    all stateless or stream-static broadcast joins, so the SAME code runs
+  *    on a streaming DataFrame;
+  *  - C1 dedup  → `dropDuplicatesWithinWatermark(fp)`;
+  *  - C6 first-seen → `flatMapGroupsWithState` keyed by (field, value);
+  *  - C7 frequency → watermarked tumbling-window counts (streaming emits
+  *    per-(key, window) alerts rather than per-row trailing flags — the
+  *    documented semantic difference, SURVEY §2.8);
+  *  - fan-out → `foreachBatch` multi-sink writes.
+  */
+object StreamPipeline {
+
+  /** Streaming enrich: note = IOC + sig + ref components (the stateless
+    * score), with watermarked fp-dedup. */
+  def enrichStream(turns: DataFrame, tables: RuleTables, conf: PipelineConf,
+      watermarkDelay: String = "10 minutes"): DataFrame = {
+    val parsed = Parse(turns, conf)
+      .withWatermark("ts", watermarkDelay)
+      .withColumn("fp", sha2(col("text"), 256))
+      .dropDuplicatesWithinWatermark("fp")
+    val survivors = Whitelist(parsed, tables.whitelist)
+    val enriched = RefCheck(
+      SigRules(IocEnrich(survivors, tables.ioc), tables.sigRules),
+      tables.ref, conf)
+    val hits = concat(col("hits_ioc"), col("hits_sig"), col("hits_ref"))
+    enriched
+      .withColumn("hits", hits)
+      .withColumn("note", aggregate(col("hits"), lit(0), (a, h) => a + h.getField("score")))
+      .drop("hits_ioc", "hits_sig", "hits_ref")
+  }
+
+  final case class FirstSeenEvent(field: String, value: String,
+      conv_id: String, turn_idx: Int, ts_us: Long)
+
+  /** C6 as flatMapGroupsWithState: one output row per (field, value) — the
+    * first occurrence ever seen, ordered by (ts_us, conv_id, turn_idx) within
+    * each micro-batch; state = "already seen". */
+  def firstSeenStream(parsed: DataFrame, conf: PipelineConf): Dataset[FirstSeenEvent] = {
+    val spark = parsed.sparkSession
+    import spark.implicits._
+    val cands = conf.trackedFields.map { f =>
+      parsed.filter(col("parse_ok") && col(f).isNotNull && col(f) =!= "")
+        .select(lit(f).as("field"), col(f).as("value"),
+          col("conv_id"), col("turn_idx"), col("ts_us"))
+    }.reduce(_ unionByName _).as[FirstSeenEvent]
+    cands.groupByKey(e => (e.field, e.value))
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
+        (_: (String, String), it: Iterator[FirstSeenEvent],
+         state: GroupState[Boolean]) => {
+          if (state.exists) Iterator.empty
+          else {
+            state.update(true)
+            val first = it.minBy(e => (e.ts_us, e.conv_id, e.turn_idx))
+            Iterator.single(first)
+          }
+        })
+  }
+
+  /** C7 streaming: tumbling-window per-key counts ≥ threshold. */
+  def freqAlerts(parsed: DataFrame, conf: PipelineConf,
+      watermarkDelay: String = "10 minutes"): DataFrame =
+    parsed
+      .withWatermark("ts", watermarkDelay)
+      .groupBy(col(conf.freqKey).as("key"),
+        window(col("ts"), s"${conf.freqWindowSec} seconds"))
+      .agg(count(lit(1)).as("n"))
+      .filter(col("n") >= conf.freqThreshold)
+      .select(col("key"), col("window.start").as("win_start"), col("n"))
+
+  /** Fan-out sink: one foreachBatch pass writes all per-severity sinks
+    * (streaming can't natively multi-sink one query — SURVEY §2.8). */
+  def routeAvailableNow(spark: SparkSession, enriched: DataFrame,
+      conf: PipelineConf, outDir: String, checkpointDir: String): Unit = {
+    val severities = conf.severityBands.map(_._2)
+    val q = enriched.writeStream
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", checkpointDir)
+      .outputMode(OutputMode.Append)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val sev = Scoring.severityExpr(conf)
+        val cached = batch.withColumn("severity", sev)
+          .withColumn("routed", col("note") >= conf.firThreshold)
+          .persist()
+        try {
+          cached.filter(col("routed"))
+            .write.mode("append").partitionBy("severity")
+            .parquet(s"$outDir/alerts_all")
+          ()
+        } finally { cached.unpersist(); () }
+      }
+      .start()
+    q.processAllAvailable()
+    q.stop()
+  }
+}

@@ -1,0 +1,103 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.fixtures.Gen
+import graft.model._
+
+/** Resume correctness (SURVEY §5.4): pipeline(A ∪ B) == pipeline(A) then
+  * pipeline(B, state-after-A) — exactly, including frequency windows spanning
+  * the batch boundary — plus manifest/crash-safety semantics. */
+class IncrementalSpec extends SparkSuite {
+  import spark.implicits._
+
+  private def tables(fx: Gen.FixtureData): RuleTables =
+    RuleTables(fx.ioc.toDF(), fx.rules, fx.ref.toDF(), fx.whitelist)
+
+  private def comparable(df: DataFrame) =
+    df.selectExpr("conv_id", "turn_idx", "note", "severity", "routed",
+      "first_seen", "freq_hit",
+      "array_join(transform(hits, h -> concat(h.kind, ':', h.name, ':', h.rule_id, ':', h.score)), ';') as hk")
+      .collect().map(r => (r.getString(0), r.getInt(1), r.getInt(2), r.getString(3),
+        r.getBoolean(4), r.getBoolean(5), r.getBoolean(6), r.getString(7)))
+      .sortBy(t => (t._1, t._2)).toSeq
+
+  test("split-run with persisted state == single run (exact, incl. freq across boundary)") {
+    val fx = Gen.fixture(250)
+    val tb = tables(fx)
+    val cutoff = {
+      val ts = fx.turns.map(_.ts.getTime).sorted
+      ts(ts.size / 2)
+    }
+    val a = fx.turns.filter(_.ts.getTime < cutoff)
+    val b = fx.turns.filter(_.ts.getTime >= cutoff)
+    assert(a.nonEmpty && b.nonEmpty)
+
+    val single = comparable(
+      Pipeline.enrich(spark.createDataset(fx.turns).toDF(), tb, fx.conf))
+
+    val stateDir = Files.createTempDirectory("graft-state").toString
+    val outDir = Files.createTempDirectory("graft-out").toString
+    val r1 = Incremental.run(spark, spark.createDataset(a).toDF(), tb, fx.conf,
+      stateDir, outDir, "0001")
+    val st = Incremental.loadFullState(spark, stateDir)
+    val enrichedB = Pipeline.enrich(spark.createDataset(b).toDF(), tb, fx.conf, st)
+    val enrichedA = Pipeline.enrich(spark.createDataset(a).toDF(), tb, fx.conf)
+    val split = (comparable(enrichedA) ++ comparable(enrichedB))
+      .sortBy(t => (t._1, t._2))
+
+    assert(split === single)
+    assert(r1.metrics("n_input") === a.size.toLong)
+  }
+
+  test("second Incremental.run consumes state; alerts append; manifests track runs") {
+    val fx = Gen.fixture(120)
+    val tb = tables(fx)
+    val cutoff = {
+      val ts = fx.turns.map(_.ts.getTime).sorted
+      ts(ts.size / 2)
+    }
+    val a = fx.turns.filter(_.ts.getTime < cutoff)
+    val b = fx.turns.filter(_.ts.getTime >= cutoff)
+    val stateDir = Files.createTempDirectory("graft-state").toString
+    val outDir = Files.createTempDirectory("graft-out").toString
+
+    val r1 = Incremental.run(spark, spark.createDataset(a).toDF(), tb, fx.conf,
+      stateDir, outDir, "0001")
+    val r2 = Incremental.run(spark, spark.createDataset(b).toDF(), tb, fx.conf,
+      stateDir, outDir, "0002")
+    assert(Incremental.completedRuns(stateDir) === Seq("0001", "0002"))
+    assert(r1.inputFiles.nonEmpty && r2.inputFiles.nonEmpty)
+
+    // appended alerts == single-run routed rows
+    val single = Pipeline.enrich(spark.createDataset(fx.turns).toDF(), tb, fx.conf)
+      .filter(col("routed"))
+      .select("conv_id", "turn_idx", "note").collect()
+      .map(r => (r.getString(0), r.getInt(1), r.getInt(2))).sortBy(t => (t._1, t._2)).toSeq
+    val appended = spark.read.parquet(s"$outDir/alerts_all")
+      .select("conv_id", "turn_idx", "note").collect()
+      .map(r => (r.getString(0), r.getInt(1), r.getInt(2))).sortBy(t => (t._1, t._2)).toSeq
+    assert(appended === single)
+    assert((r1.sinkCounts.values.sum + r2.sinkCounts.values.sum) === single.size.toLong)
+  }
+
+  test("state without manifest is invisible (crash safety)") {
+    val fx = Gen.fixture(40)
+    val tb = tables(fx)
+    val stateDir = Files.createTempDirectory("graft-state").toString
+    val outDir = Files.createTempDirectory("graft-out").toString
+    // simulate a crashed run: state files exist, no manifest
+    spark.createDataset(Seq(("user", "u000"))).toDF("field", "value")
+      .write.parquet(s"$stateDir/run-dead/seen_values")
+    assert(Incremental.completedRuns(stateDir).isEmpty)
+    assert(Incremental.loadFullState(spark, stateDir).seenValues.isEmpty)
+    // a real run afterwards still works and sees no phantom state
+    val r = Incremental.run(spark, spark.createDataset(fx.turns).toDF(), tb,
+      fx.conf, stateDir, outDir, "0001")
+    assert(Incremental.completedRuns(stateDir) === Seq("0001"))
+    assert(r.metrics("n_input") === fx.turns.size.toLong)
+  }
+}
