@@ -163,6 +163,13 @@ object Gen {
               case _ => line(pick(benignActions), pick(benignUsers), pick(benignIps),
                 pick(benignHosts), pick(benignStatus), pick(benignHashes), "/debug/trace")
             }
+          } else if (roll < 82) { // whitelisted (C2 stop-rule carriers)
+            if (rng.nextBoolean())
+              line("ping", "monitor", pick(benignIps), pick(benignHosts),
+                pick(benignStatus), pick(benignHashes), pick(benignUris))
+            else
+              line("noopsync", pick(benignUsers), pick(benignIps), pick(benignHosts),
+                pick(benignStatus), pick(benignHashes), pick(benignUris))
           } else if (roll < 85) { // first-seen value
             if (rng.nextBoolean())
               line(pick(benignActions), s"newu-$c-$ti", pick(benignIps), pick(benignHosts),
