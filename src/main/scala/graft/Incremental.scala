@@ -88,13 +88,17 @@ object Incremental {
         sum(when(col("parse_ok"), 1L).otherwise(0L)).as("n_parse_ok"))
     val deduped = Dedup(parsed, conf, state.fpSeen)
       .observe(obsDedup, count(lit(1)).as("n_after_dedup"))
+    // the one persisted boundary (see Pipeline.enrichPlanned)
     val survivors = Whitelist(deduped, tables.whitelist)
       .observe(obsSurv, count(lit(1)).as("n_survivors"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val enriched0 = RefCheck(
       SigRules(IocEnrich(survivors, tables.ioc), tables.sigRules),
       tables.ref, conf)
-    val stateful = Frequency(FirstSeen(enriched0, conf, state.seenValues), conf,
-      state.freqCounts, state.firedBuckets)
+    val withFirst = FirstSeen(enriched0, conf, state.seenValues,
+      aux = Some(survivors))
+    val stateful = Frequency(withFirst, conf,
+      state.freqCounts, state.firedBuckets, aux = Some(survivors))
     val severities = conf.severityBands.map(_._2)
     val sinkAggs = severities.map(s =>
       sum(when(col("routed") && col("severity") === s, 1L).otherwise(0L))
@@ -143,7 +147,9 @@ object Incremental {
 
       writeManifest(stateDir, runId, metrics, files)
       RunResult(runId, sinkCounts, metrics, files)
-    } finally enriched.unpersist()
+    } finally {
+      enriched.unpersist(); survivors.unpersist()
+    }
   }
 
   /** Manifest written atomically (tmp + move) and LAST. */

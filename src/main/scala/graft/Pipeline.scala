@@ -41,16 +41,42 @@ object Pipeline {
 
   /** The pure transform: transcripts in, enriched detection rows out. */
   def enrich(turns: DataFrame, tables: RuleTables, conf: PipelineConf,
-      state: State = State.empty): DataFrame = {
+      state: State = State.empty): DataFrame =
+    enrichPlanned(turns, tables, conf, state, persistIntermediates = false)._1
+
+  /** enrich with explicit persist points at the two diamond-shaped stage
+    * boundaries — FirstSeen consumes its input once per tracked field (the
+    * value→min-key aggregations) plus the join-back, and Frequency consumes
+    * its input for both the per-sec counts and the join-back. Without
+    * persisting, Spark recomputes the whole upstream (scan→parse→joins) for
+    * every branch; with it, branches share one materialization (the plan-audit
+    * driver for this: docs/plans/enrich_full.txt). Callers own cleanup via the
+    * returned thunk. */
+  def enrichPlanned(turns: DataFrame, tables: RuleTables, conf: PipelineConf,
+      state: State = State.empty, persistIntermediates: Boolean = true)
+      : (DataFrame, () => Unit) = {
+    val handles = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+    def p(df: DataFrame): DataFrame =
+      if (!persistIntermediates) df
+      else {
+        val c = df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        handles += c
+        c
+      }
     val parsed = Parse(turns, conf)
     val deduped = Dedup(parsed, conf, state.fpSeen)
-    val survivors = Whitelist(deduped, tables.whitelist)
+    // the ONE persist: survivors feed (a) the main narrow enrich chain once
+    // and (b) the slim first-seen/frequency aggregations, which read pruned
+    // column batches from the cache
+    val survivors = p(Whitelist(deduped, tables.whitelist))
     val enriched = RefCheck(
       SigRules(IocEnrich(survivors, tables.ioc), tables.sigRules),
       tables.ref, conf)
-    val stateful = Frequency(FirstSeen(enriched, conf, state.seenValues), conf,
-      state.freqCounts, state.firedBuckets)
-    Scoring(stateful, conf)
+    val withFirst = FirstSeen(enriched, conf, state.seenValues,
+      aux = Some(survivors))
+    val stateful = Frequency(withFirst, conf, state.freqCounts,
+      state.firedBuckets, aux = Some(survivors))
+    (Scoring(stateful, conf), () => handles.foreach(_.unpersist()))
   }
 
   /** Per-signature rollup: counts + score mass + distinct conversations

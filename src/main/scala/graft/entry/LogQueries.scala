@@ -176,6 +176,24 @@ scored AS (
         .orderBy("conv_id", "turn_idx")
     },
 
+    Q("p4b_date_parse", sqlT(
+      """SELECT conv_id, turn_idx, raw,
+        |  coalesce(try_strptime(raw, '%Y-%m-%d %H:%M:%S'),
+        |           try_strptime(raw, '%d/%m/%Y %H:%M:%S')) AS parsed_ts
+        |FROM (SELECT conv_id, turn_idx,
+        |  CASE WHEN turn_idx % 2 = 0 THEN strftime(ts, '%Y-%m-%d %H:%M:%S')
+        |       ELSE strftime(ts, '%d/%m/%Y %H:%M:%S') END AS raw FROM turns)
+        |ORDER BY conv_id, turn_idx""".stripMargin)) { (s, d) =>
+      // Logstash `date` filter: try formats in order, first hit wins
+      T(s, d).select(col("conv_id"), col("turn_idx"),
+        when(col("turn_idx") % 2 === 0, date_format(col("ts"), "yyyy-MM-dd HH:mm:ss"))
+          .otherwise(date_format(col("ts"), "dd/MM/yyyy HH:mm:ss")).as("raw"))
+        .withColumn("parsed_ts", coalesce(
+          try_to_timestamp(col("raw"), lit("yyyy-MM-dd HH:mm:ss")),
+          try_to_timestamp(col("raw"), lit("dd/MM/yyyy HH:mm:ss"))))
+        .orderBy("conv_id", "turn_idx")
+    },
+
     Q("p5_kv", sqlT(
       """SELECT conv_id, turn_idx,
         |  NULLIF(regexp_extract(text, 'user=([^ ]+)', 1), '') AS kv_user,
@@ -334,6 +352,21 @@ scored AS (
         .orderBy("conv_id", "turn_idx")
     },
 
+    Q("c4b_sig_rules_data", sqlFull(
+      s"""SELECT conv_id, turn_idx, sig_score, ${ruleGroups.map { case (rid, cl) =>
+        s"(CASE WHEN ${rulePredSql(cl)} THEN '$rid' END)"
+      }.mkString("concat_ws(',', ", ", ", ")")} AS rule_ids
+         |FROM en WHERE sig_score > 0 ORDER BY conv_id, turn_idx""".stripMargin)) { (s, d) =>
+      import s.implicits._
+      val enr = SigRulesData(Whitelist(Dedup(P(s, d), tconf), TestdataTables.whitelist),
+        TestdataTables.sigRules.toDF(), tconf)
+      enr.select(col("conv_id"), col("turn_idx"),
+        aggregate(col("hits_sig"), lit(0), (a, h) => a + h.getField("score")).as("sig_score"),
+        array_join(transform(col("hits_sig"), h => h.getField("rule_id").cast("string")), ",").as("rule_ids"))
+        .filter(col("sig_score") > 0)
+        .orderBy("conv_id", "turn_idx")
+    },
+
     Q("c5_ref_check", sqlFull(
       """SELECT conv_id, turn_idx,
         |  (parse_ok AND action IS NOT NULL AND ra.value IS NULL) AS dev_action,
@@ -387,7 +420,7 @@ scored AS (
     Q("c8_scoring", sqlFull(
       """SELECT conv_id, turn_idx, note, severity, routed FROM scored
         |ORDER BY conv_id, turn_idx""".stripMargin)) { (s, d) =>
-      Pipeline.enrich(T(s, d), TestdataTables.rules(s), tconf)
+      Pipeline.enrichPlanned(T(s, d), TestdataTables.rules(s), tconf)._1
         .select("conv_id", "turn_idx", "note", "severity", "routed")
         .orderBy("conv_id", "turn_idx")
     },
@@ -395,7 +428,8 @@ scored AS (
     Q("c9_route_counts", sqlFull(
       """SELECT severity, count(*) AS n FROM scored WHERE routed
         |GROUP BY severity ORDER BY severity""".stripMargin)) { (s, d) =>
-      Pipeline.rollupBySink(Pipeline.enrich(T(s, d), TestdataTables.rules(s), tconf))
+      Pipeline.rollupBySink(
+        Pipeline.enrichPlanned(T(s, d), TestdataTables.rules(s), tconf)._1)
         .orderBy("severity")
     },
 

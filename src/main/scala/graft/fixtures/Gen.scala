@@ -208,4 +208,17 @@ object Gen {
   def fixture(nConvs: Int, seed: Long = 42L, hotKey: Boolean = false): FixtureData =
     FixtureData(transcripts(nConvs, seed, hotKey), iocTable, sigRules, refBaseline,
       whitelistRules, defaultConf)
+
+  /** Bench-scale generation in chunks (driver-memory-bounded): chunk c uses
+    * seed+c and conversation ids offset by c*convsPerChunk — deterministic
+    * for a fixed (seed, chunking). */
+  def transcriptsChunk(chunk: Int, convsPerChunk: Int, seed: Long = 42L): Seq[Turn] = {
+    val base = transcripts(convsPerChunk, seed + chunk)
+    if (chunk == 0) base
+    else base.map { t =>
+      val cNum = t.conv_id.stripPrefix("conv-").toInt + chunk * convsPerChunk
+      t.copy(conv_id = f"conv-$cNum%06d",
+        ts = new Timestamp(t.ts.getTime + chunk.toLong * convsPerChunk * 37000L))
+    }
+  }
 }

@@ -179,11 +179,17 @@ object RefCheck {
   * `seen_values` state, and join the tiny firsts table back (AQE broadcasts it
   * when small). */
 object FirstSeen {
+  /** `aux`: the row source used for the value→min-key aggregations — pass the
+    * PERSISTED upstream (e.g. post-whitelist survivors) so the slim aggs read
+    * pruned cached columns instead of recomputing the enrich chain. Must
+    * contain exactly the same rows as `df`. */
   def apply(df: DataFrame, conf: PipelineConf,
-      seenValues: Option[DataFrame] = None): DataFrame = {
+      seenValues: Option[DataFrame] = None,
+      aux: Option[DataFrame] = None): DataFrame = {
+    val src = aux.getOrElse(df)
     val rowKey = struct(col("ts_us"), col("conv_id"), col("turn_idx"))
     val withNew = conf.trackedFields.foldLeft(df) { (acc, f) =>
-      val cand = df.filter(col("parse_ok") && col(f).isNotNull && col(f) =!= "")
+      val cand = src.filter(col("parse_ok") && col(f).isNotNull && col(f) =!= "")
       val firstsAll = cand.groupBy(col(f).as("_v"))
         .agg(min(rowKey).as("_w"))
       val firsts = seenValues match {
@@ -225,48 +231,61 @@ object Frequency {
     df.groupBy(col(conf.freqKey).as("_k"), col("ts_sec").as("_s"))
       .agg(count(lit(1)).as("_c"))
 
+  /** `aux`: same-rows slim source for the per-sec counts and firing-row
+    * aggregations (pass the persisted upstream; see FirstSeen.aux). */
   def apply(df: DataFrame, conf: PipelineConf,
       priorCounts: Option[DataFrame] = None,
-      firedBuckets: Option[DataFrame] = None): DataFrame = {
+      firedBuckets: Option[DataFrame] = None,
+      aux: Option[DataFrame] = None): DataFrame = {
     val key = col(conf.freqKey)
-    val batchCounts = perSecCounts(df, conf)
+    val src = aux.getOrElse(df)
+    val batchCounts = perSecCounts(src, conf)
     val perSec = priorCounts match {
       case Some(p) => batchCounts
         .unionByName(p.select(col("key").as("_k"), col("sec").as("_s"), col("cnt").as("_c")))
         .groupBy("_k", "_s").agg(sum(col("_c")).as("_c"))
       case None => batchCounts
     }
+    // trailing count + re-fire suppression computed ENTIRELY at per-second
+    // grain (tiny vs raw rows — no full-row sort/window needed):
+    //   _raw       per (key, sec): trailing count ≥ threshold
+    //   _frs       per (key, reset-bucket): earliest raw second (minus
+    //              already-fired buckets from prior runs)
     val w = Window.partitionBy(col("_k")).orderBy(col("_s"))
       .rangeBetween(-conf.freqWindowSec, 0)
-    val cnt = perSec.withColumn("_cnt", sum(col("_c")).over(w)).drop("_c")
-    val joined = df.join(cnt,
-      key === col("_k") && col("ts_sec") === col("_s"), "left_outer")
-      .withColumn("_raw", coalesce(col("_cnt") >= conf.freqThreshold, lit(false)))
-      .drop("_k", "_s", "_cnt")
-    val wb = Window
-      .partitionBy(key, floor(col("ts_sec") / conf.freqResetSec))
-      .orderBy(col("ts_us"), col("conv_id"), col("turn_idx"))
-      .rowsBetween(Window.unboundedPreceding, 0)
-    val withFirst = joined
-      .withColumn("_first_raw",
-        col("_raw") && sum(when(col("_raw"), 1).otherwise(0)).over(wb) === 1)
-    val suppressed = firedBuckets match {
-      case Some(fb) =>
-        val dim = fb.select(col("key").as("_fk"), col("reset_bucket").as("_fb"),
-          lit(1).as("_fired"))
-        withFirst.join(dim,
-          key === col("_fk") &&
-            floor(col("ts_sec") / conf.freqResetSec) === col("_fb"), "left_outer")
-          .withColumn("freq_hit", col("_first_raw") && col("_fired").isNull)
-          .drop("_fk", "_fb", "_fired")
-      case None => withFirst.withColumn("freq_hit", col("_first_raw"))
+    val cnt = perSec
+      .withColumn("_cnt", sum(col("_c")).over(w))
+      .withColumn("_raw", col("_cnt") >= conf.freqThreshold)
+      .withColumn("_b", floor(col("_s") / conf.freqResetSec))
+      .select("_k", "_s", "_raw", "_b")
+    val rawSecs = cnt.filter(col("_raw"))
+    val unfired = firedBuckets match {
+      case Some(fb) => rawSecs.join(
+        fb.select(col("key").as("_k"), col("reset_bucket").as("_b")),
+        Seq("_k", "_b"), "left_anti")
+      case None => rawSecs
     }
-    suppressed
+    val firstRawSec = unfired.groupBy("_k", "_b").agg(min(col("_s")).as("_frs"))
+    // the single firing row per (key, first-raw-sec) = min (ts_us, conv_id,
+    // turn_idx) — aggregated from the slim source (skew-proof, pruned read)
+    val rowKey = struct(col("ts_us"), col("conv_id"), col("turn_idx"))
+    val firstRow = src
+      .join(firstRawSec.select(col("_k").as("_fk"), col("_frs").as("_fs")),
+        key === col("_fk") && col("ts_sec") === col("_fs"), "inner")
+      .groupBy(col("_fk"), col("_fs"))
+      .agg(min(rowKey).as("_fw"))
+    // the main stream is consumed exactly ONCE: a single join attaching the
+    // firing-row key (tiny dim; AQE broadcasts it)
+    val withHit = df.join(firstRow,
+      key === col("_fk") && col("ts_sec") === col("_fs") && rowKey === col("_fw"),
+      "left_outer")
+      .withColumn("freq_hit", col("_fw").isNotNull)
+      .drop("_fk", "_fs", "_fw")
+    withHit
       .withColumn("hits_freq",
         when(col("freq_hit"),
           array(ClauseCompiler.hitStruct(0, "freq", lit(conf.freqScore), "freq")))
           .otherwise(array().cast("array<struct<rule_id:int,name:string,score:int,kind:string>>")))
-      .drop("_raw", "_first_raw")
   }
 }
 

@@ -37,9 +37,11 @@ object RunPipeline {
       whitelist = spark.read.parquet(s"$inDir/whitelist").as[WhitelistRule].collect().toSeq)
     val conf = PipelineConf()
 
-    val enriched = Pipeline.enrich(turns, tables, conf)
-    val counts = Pipeline.route(spark, enriched, conf, outDir)
-    counts.toSeq.sortBy(_._1).foreach { case (s, n) => println(s"sink[$s] = $n") }
+    val (enriched, cleanup) = Pipeline.enrichPlanned(turns, tables, conf)
+    try {
+      val counts = Pipeline.route(spark, enriched, conf, outDir)
+      counts.toSeq.sortBy(_._1).foreach { case (s, n) => println(s"sink[$s] = $n") }
+    } finally cleanup()
     spark.stop()
   }
 }

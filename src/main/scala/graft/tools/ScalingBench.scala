@@ -1,0 +1,126 @@
+package graft.tools
+
+import org.apache.spark.sql.{SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.{Pipeline, RuleTables}
+import graft.fixtures.Gen
+import graft.model.PipelineConf
+
+/** M6 scaling bench (BASELINE.json): run the identical end-to-end
+  * parse→enrich→route→aggregate job on the same input at parallelism N and
+  * 4N (the sandbox stand-in for N vs 4N executors), report throughput at both
+  * and the scaling efficiency (thrₘ/thrₙ)/(m/n).
+  *
+  * `ScalingBench [benchDir] [nConvs] [n] [m]` — generates the corpus once
+  * (chunked, deterministic), then times each level twice and keeps the warm
+  * run. Prints one JSON line; paste results into BENCH.md.
+  */
+object ScalingBench {
+
+  private def session(cpus: Int): SparkSession = {
+    val s = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .appName(s"graft-bench-$cpus")
+      .config("spark.sql.shuffle.partitions", cpus.toString)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.adaptive.skewJoin.enabled", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    s.sparkContext.setLogLevel("WARN")
+    s
+  }
+
+  /** One full pipeline pass; returns (rows, routedRows, wallSec). */
+  private def onePass(spark: SparkSession, benchDir: String): (Long, Long, Double) = {
+    import spark.implicits._
+    val turns = spark.read.parquet(s"$benchDir/transcripts")
+    val tables = RuleTables(
+      ioc = spark.read.parquet(s"$benchDir/ioc"),
+      sigRules = spark.read.parquet(s"$benchDir/sig_rules").as[graft.model.SigRule]
+        .collect().toSeq,
+      ref = spark.read.parquet(s"$benchDir/ref_baseline"),
+      whitelist = spark.read.parquet(s"$benchDir/whitelist").as[graft.model.WhitelistRule]
+        .collect().toSeq)
+    val persist = sys.env.getOrElse("SPARK_GRAFT_PERSIST", "true").toBoolean
+    val t0 = System.nanoTime()
+    val (enriched, cleanup) = Pipeline.enrichPlanned(turns, tables, PipelineConf(),
+      persistIntermediates = persist)
+    try {
+      // ONE action: rollup aggregation drives the pass; row/routed counts ride
+      // along as observe() metrics (no second traversal)
+      val obs = org.apache.spark.sql.Observation()
+      val observed = enriched.observe(obs, count(lit(1)).as("n"),
+        sum(when(col("routed"), 1L).otherwise(0L)).as("r"))
+      val rollupN = Pipeline.rollupBySignature(observed).count()
+      val wall = (System.nanoTime() - t0) / 1e9
+      require(rollupN > 0)
+      val m = obs.get
+      (m("n").asInstanceOf[Long], m("r").asInstanceOf[Long], wall)
+    } finally cleanup()
+  }
+
+  def main(args: Array[String]): Unit = {
+    val benchDir = if (args.length > 0) args(0) else "target/fixtures/bench"
+    val nConvs = if (args.length > 1) args(1).toInt else 500000
+    val nLow = if (args.length > 2) args(2).toInt else 8
+    val nHigh = if (args.length > 3) args(3).toInt else 32
+    val cores = Runtime.getRuntime.availableProcessors
+
+    // ---- generate once (chunked)
+    if (!java.nio.file.Files.isDirectory(
+        java.nio.file.Paths.get(s"$benchDir/transcripts"))) {
+      val gen = session(cores)
+      import gen.implicits._
+      val chunkConvs = 50000
+      val chunks = math.max(1, nConvs / chunkConvs)
+      for (c <- 0 until chunks) {
+        gen.createDataset(Gen.transcriptsChunk(c, chunkConvs)).toDF()
+          .repartition(8)
+          .write.mode(if (c == 0) SaveMode.Overwrite else SaveMode.Append)
+          .parquet(s"$benchDir/transcripts")
+        System.err.println(s"chunk $c/$chunks written")
+      }
+      val fx = Gen.fixture(0)
+      gen.createDataset(fx.ioc).toDF().coalesce(1).write.mode(SaveMode.Overwrite)
+        .parquet(s"$benchDir/ioc")
+      gen.createDataset(fx.rules).toDF().coalesce(1).write.mode(SaveMode.Overwrite)
+        .parquet(s"$benchDir/sig_rules")
+      gen.createDataset(fx.ref).toDF().coalesce(1).write.mode(SaveMode.Overwrite)
+        .parquet(s"$benchDir/ref_baseline")
+      gen.createDataset(fx.whitelist).toDF().coalesce(1).write.mode(SaveMode.Overwrite)
+        .parquet(s"$benchDir/whitelist")
+      gen.stop()
+    }
+
+    // ---- time each level: cold + warm, keep warm
+    /** warmup + 3 timed passes, keep the fastest (robust to the sandbox's
+      * run-to-run noise — first pass pays janino codegen for the large plan). */
+    def timeLevel(cpus: Int): (Long, Long, Double) = {
+      val s = session(cpus)
+      try {
+        val w = onePass(s, benchDir)
+        System.err.println(s"level $cpus warmup: ${w._3}")
+        val passes = (1 to 3).map { i =>
+          val r = onePass(s, benchDir)
+          System.err.println(s"level $cpus pass$i: ${r._3}")
+          r
+        }
+        passes.minBy(_._3)
+      } finally s.stop()
+    }
+    val (n1, r1, w1) = timeLevel(nLow)
+    val (n2, r2, w2) = timeLevel(nHigh)
+    require(n1 == n2 && r1 == r2, s"results differ across levels: $n1/$r1 vs $n2/$r2")
+
+    val thrLow = n1 / w1
+    val thrHigh = n2 / w2
+    val eff = (thrHigh / thrLow) / (nHigh.toDouble / nLow)
+    println(
+      s"""{"metric":"pipeline_throughput","rows":$n1,"routed":$r1,"cores_available":$cores,""" +
+        s""""n_low":$nLow,"n_high":$nHigh,"wall_low_sec":$w1,"wall_high_sec":$w2,""" +
+        s""""thr_low_rows_per_sec":$thrLow,"thr_high_rows_per_sec":$thrHigh,""" +
+        s""""scaling_efficiency":$eff}""")
+  }
+}
