@@ -1,0 +1,46 @@
+package graft
+
+import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
+import org.apache.spark.sql.catalyst.expressions.Expression
+
+import graft.functions.{GrokCompiler, RegexStructExtract}
+
+/** SparkSessionExtensions hook: exposes the native grok expression to SQL as
+  * `grok_struct(text, '<grok pattern>')` — the pattern must be a literal; it
+  * is compiled to a single regex at plan time (SURVEY §2.2 P1).
+  *
+  * Activate with `.config("spark.sql.extensions", "graft.GraftExtensions")`
+  * or retro-fit an existing session via [[GraftExtensions.register]].
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(e: SparkSessionExtensions): Unit = {
+    e.injectFunction(GraftExtensions.grokStructDescriptor)
+  }
+}
+
+object GraftExtensions {
+  import org.apache.spark.sql.catalyst.FunctionIdentifier
+  import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
+
+  private def build(exprs: Seq[Expression]): Expression = {
+    require(exprs.size == 2, "grok_struct(text, 'pattern')")
+    val pat = exprs(1) match {
+      case lit if lit.foldable => String.valueOf(lit.eval())
+      case other => throw new IllegalArgumentException(
+        s"grok_struct pattern must be a literal, got $other")
+    }
+    val g = GrokCompiler.compile(pat)
+    RegexStructExtract(exprs.head, g.regex, g.fields)
+  }
+
+  val grokStructDescriptor
+      : (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) =
+    (FunctionIdentifier("grok_struct"),
+      new ExpressionInfo(classOf[RegexStructExtract].getName, "grok_struct"),
+      build _)
+
+  /** Register into an already-built session. */
+  def register(spark: SparkSession): Unit =
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "grok_struct", build, "built-in")
+}

@@ -173,16 +173,13 @@ object DataPipeQueries {
         |WHERE a.vec_id < b.vec_id
         |  AND list_cosine_similarity(a.embedding, b.embedding) >= 0.3
         |ORDER BY i, j""".stripMargin) { (s, d) =>
-      val e = embs(s, d).select(col("vec_id"),
-        expr("transform(embedding, x -> cast(x as double))").as("v"))
-        .withColumn("nrm", sqrt(aggregate(expr("transform(v, x -> x * x)"),
-          lit(0.0), (a, x) => a + x)))
-      val a = e.select(col("vec_id").as("i"), col("v").as("va"), col("nrm").as("na"))
-      val b = e.select(col("vec_id").as("j"), col("v").as("vb"), col("nrm").as("nb"))
+      import graft.functions.ArrayDot
+      val e = embs(s, d).select(col("vec_id"), col("embedding"))
+        .withColumn("nrm", sqrt(ArrayDot.dot(col("embedding"), col("embedding"))))
+      val a = e.select(col("vec_id").as("i"), col("embedding").as("va"), col("nrm").as("na"))
+      val b = e.select(col("vec_id").as("j"), col("embedding").as("vb"), col("nrm").as("nb"))
       a.join(b, col("i") < col("j"))
-        .withColumn("dot", aggregate(zip_with(col("va"), col("vb"), (x, y) => x * y),
-          lit(0.0), (acc, x) => acc + x))
-        .filter(col("dot") / (col("na") * col("nb")) >= 0.3)
+        .filter(ArrayDot.dot(col("va"), col("vb")) / (col("na") * col("nb")) >= 0.3)
         .select("i", "j").orderBy("i", "j")
     },
 
@@ -198,17 +195,15 @@ object DataPipeQueries {
         |    row_number() OVER (PARTITION BY qid ORDER BY c DESC, nid) AS rank
         |  FROM sc)
         |SELECT qid, rank, nid FROM rk WHERE rank <= 10 ORDER BY qid, rank""".stripMargin) { (s, d) =>
-      val e = embs(s, d).select(col("vec_id"),
-        expr("transform(embedding, x -> cast(x as double))").as("v"))
-        .withColumn("nrm", sqrt(aggregate(expr("transform(v, x -> x * x)"),
-          lit(0.0), (a, x) => a + x)))
+      import graft.functions.ArrayDot
+      val e = embs(s, d).select(col("vec_id"), col("embedding").as("v"))
+        .withColumn("nrm", sqrt(ArrayDot.dot(col("v"), col("v"))))
       val q = e.filter(col("vec_id") < 5)
         .select(col("vec_id").as("qid"), col("v").as("qv"), col("nrm").as("qn"))
       val n = e.select(col("vec_id").as("nid"), col("v").as("nv"), col("nrm").as("nn"))
       val sc = q.join(n, col("nid") =!= col("qid"))
-        .withColumn("dot", aggregate(zip_with(col("qv"), col("nv"), (x, y) => x * y),
-          lit(0.0), (acc, x) => acc + x))
-        .withColumn("c", round(col("dot") / (col("qn") * col("nn")), 6))
+        .withColumn("c",
+          round(ArrayDot.dot(col("qv"), col("nv")) / (col("qn") * col("nn")), 6))
       sc.withColumn("rank", row_number().over(
         Window.partitionBy("qid").orderBy(desc("c"), asc("nid"))))
         .filter(col("rank") <= 10)
@@ -237,23 +232,20 @@ object DataPipeQueries {
         |rk AS (SELECT qid, nid,
         |    row_number() OVER (PARTITION BY qid ORDER BY c DESC, nid) AS rank FROM sc)
         |SELECT qid, rank, nid FROM rk WHERE rank <= 3 ORDER BY qid, rank""".stripMargin) { (s, d) =>
+      import graft.functions.ArrayDot
       val dims = Seq(1, 9, 17, 25, 33, 41, 49, 57)
       val bucket = concat(dims.map(i =>
         when(element_at(col("embedding"), i) >= 0, "1").otherwise("0")): _*)
-      val e = embs(s, d).select(col("vec_id"),
-        expr("transform(embedding, x -> cast(x as double))").as("v"),
+      val e = embs(s, d).select(col("vec_id"), col("embedding").as("v"),
         bucket.as("bucket"))
-        .withColumn("nrm", sqrt(aggregate(expr("transform(v, x -> x * x)"),
-          lit(0.0), (a, x) => a + x)))
+        .withColumn("nrm", sqrt(ArrayDot.dot(col("v"), col("v"))))
       val q = e.filter(col("vec_id") < 20)
         .select(col("vec_id").as("qid"), col("v").as("qv"), col("nrm").as("qn"),
           col("bucket").as("qb"))
       val n = e.select(col("vec_id").as("nid"), col("v").as("nv"), col("nrm").as("nn"),
         col("bucket").as("nb2"))
       q.join(n, col("qb") === col("nb2") && col("nid") =!= col("qid"))
-        .withColumn("dot", aggregate(zip_with(col("qv"), col("nv"), (x, y) => x * y),
-          lit(0.0), (acc, x) => acc + x))
-        .withColumn("c", round(col("dot") / (col("qn") * col("nn")), 6))
+        .withColumn("c", round(ArrayDot.dot(col("qv"), col("nv")) / (col("qn") * col("nn")), 6))
         .withColumn("rank", row_number().over(
           Window.partitionBy("qid").orderBy(desc("c"), asc("nid"))))
         .filter(col("rank") <= 3)

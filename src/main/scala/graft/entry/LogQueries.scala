@@ -309,6 +309,44 @@ scored AS (
         .groupBy("category").agg(count(lit(1)).as("n")).orderBy("category")
     },
 
+    Q("p16_geoip_range", sqlP(
+      """SELECT 'r' || CAST((ipn // 16777216) % 10 AS VARCHAR) AS region, count(*) AS n
+        |FROM (
+        |  SELECT CAST(split_part(src_ip, '.', 1) AS BIGINT) * 16777216
+        |    + CAST(split_part(src_ip, '.', 2) AS BIGINT) * 65536
+        |    + CAST(split_part(src_ip, '.', 3) AS BIGINT) * 256
+        |    + CAST(split_part(src_ip, '.', 4) AS BIGINT) AS ipn
+        |  FROM parsed WHERE parse_ok)
+        |GROUP BY 1 ORDER BY region""".stripMargin)) { (s, d) =>
+      // geoip-style enrichment (SURVEY P16): broadcast RANGE join of the ip
+      // integer into /8 blocks — the lookup-table form of the maxmind probe
+      import s.implicits._
+      val geo = broadcast((0 until 256).map(b =>
+        (b.toLong * 16777216L, (b + 1).toLong * 16777216L - 1, s"r${b % 10}"))
+        .toDF("lo", "hi", "region"))
+      val part = (i: Int) => element_at(split(col("src_ip"), "\\."), i).cast("long")
+      P(s, d).filter(col("parse_ok"))
+        .withColumn("ipn",
+          part(1) * 16777216L + part(2) * 65536L + part(3) * 256L + part(4))
+        .join(geo, col("ipn").between(col("lo"), col("hi")))
+        .groupBy("region").agg(count(lit(1)).as("n"))
+        .orderBy("region")
+    },
+
+    Q("agg_udaf_stats", sqlP(
+      """SELECT role, count(status) AS n_status,
+        |  CAST(coalesce(sum(status), 0) AS BIGINT) AS sum_status, max(status) AS max_status
+        |FROM parsed GROUP BY role ORDER BY role""".stripMargin)) { (s, d) =>
+      // SURVEY §2.6: custom typed Aggregator via functions.udaf
+      val stats = graft.functions.StatusStatsAggregator.udafColumn
+      P(s, d).groupBy("role")
+        .agg(stats(coalesce(col("status"), lit(0)),
+          col("status").isNotNull).as("s"))
+        .select(col("role"), col("s.n").as("n_status"),
+          col("s.sum").as("sum_status"), col("s.max").as("max_status"))
+        .orderBy("role")
+    },
+
     // ---------- the sig-filter check chain on testdata ----------
     Q("c1_dedup_fp", sqlP(
       s"""SELECT count(*) AS n FROM (
