@@ -108,9 +108,10 @@ object Incremental {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
     try {
-      // --- sinks: alerts partitioned by severity, appended per run
-      enriched.filter(col("routed"))
-        .drop("_file")
+      // --- sinks: alerts partitioned by severity, appended per run,
+      // salted so a hot severity band doesn't serialize into one task
+      Pipeline.saltedBySeverity(enriched.filter(col("routed")).drop("_file"),
+        conf.saltBuckets)
         .write.mode(SaveMode.Append).partitionBy("severity")
         .parquet(s"$outDir/alerts_all")
 

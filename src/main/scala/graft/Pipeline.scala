@@ -93,6 +93,14 @@ object Pipeline {
   def rollupBySink(enriched: DataFrame): DataFrame =
     enriched.filter(col("routed")).groupBy(col("severity")).agg(count(lit(1)).as("n"))
 
+  /** Salted repartition for the sink write (SURVEY §2.9 R1 / north_star
+    * "hash(conv_id) with salted keys"): distributing by (severity,
+    * hash(conv_id) % salt) keeps one skewed severity band — routed alerts are
+    * heavily skewed toward 'high' — from concentrating in few write tasks,
+    * while still clustering each conversation's alerts into one file. */
+  def saltedBySeverity(df: DataFrame, saltBuckets: Int): DataFrame =
+    df.repartition(col("severity"), pmod(xxhash64(col("conv_id")), lit(saltBuckets)))
+
   /** C9 fan-out: ONE pass over the enriched rows (persist), then K filtered
     * sink writes + alerts_all partitioned by severity (SURVEY §2.9 R2 — never
     * K source re-reads). Returns per-sink counts from `observe` metrics. */
@@ -106,7 +114,7 @@ object Pipeline {
       val aggs = severities.map(s =>
         sum(when(col("routed") && col("severity") === s, 1L).otherwise(0L)).as(s"n_$s"))
       val observed = cached.observe(obs, aggs.head, aggs.tail: _*)
-      observed.filter(col("routed"))
+      saltedBySeverity(observed.filter(col("routed")), conf.saltBuckets)
         .write.mode("overwrite").partitionBy("severity")
         .parquet(s"$outDir/alerts_all")
       rollupBySignature(cached).write.mode("overwrite")

@@ -108,6 +108,32 @@ class StreamingSpec extends SparkSuite {
     assert(got === want)
     assert(got.nonEmpty, "fixture must contain at least one burst")
   }
+
+  test("streaming fan-out sink (foreachBatch, AvailableNow) writes severity-partitioned alerts") {
+    val outDir = Files.createTempDirectory("graft-stream-out").toString
+    val ckpt = Files.createTempDirectory("graft-stream-ckpt").toString
+    val enr = StreamPipeline.enrichStream(streamTurns, tb, fx.conf, "1 hour")
+    StreamPipeline.routeAvailableNow(spark, enr, fx.conf, outDir, ckpt)
+    val written = spark.read.parquet(s"$outDir/alerts_all")
+    val n = written.count()
+    assert(n > 0)
+    assert(written.select("severity").distinct().collect()
+      .map(_.getString(0)).forall(Set("high", "critical")))
+    // routed set == stateless-batch equivalent (note >= firThreshold)
+    val parsed = Parse(spark.createDataset(fx.turns).toDF(), fx.conf)
+      .withColumn("fp", sha2(col("text"), 256))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("fp")
+      .orderBy("ts_us", "conv_id", "turn_idx")
+    val dedup = parsed.withColumn("_rn", row_number().over(w))
+      .filter(col("_rn") === 1).drop("_rn")
+    val batch = RefCheck(SigRules(IocEnrich(
+      Whitelist(dedup, fx.whitelist), tb.ioc), fx.rules), tb.ref, fx.conf)
+      .withColumn("note",
+        aggregate(concat(col("hits_ioc"), col("hits_sig"), col("hits_ref")),
+          lit(0), (a, h) => a + h.getField("score")))
+      .filter(col("note") >= fx.conf.firThreshold)
+    assert(n === batch.count())
+  }
 }
 
 /** Exposes the parse step on a streaming DF for the targeted C6/C7 tests. */
