@@ -68,20 +68,18 @@ object ScalingBench {
     val nHigh = if (args.length > 3) args(3).toInt else 32
     val cores = Runtime.getRuntime.availableProcessors
 
-    // ---- generate once (chunked)
+    // ---- generate once (chunked, parallel: one generator task per chunk)
     if (!java.nio.file.Files.isDirectory(
         java.nio.file.Paths.get(s"$benchDir/transcripts"))) {
       val gen = session(cores)
       import gen.implicits._
       val chunkConvs = 50000
       val chunks = math.max(1, nConvs / chunkConvs)
-      for (c <- 0 until chunks) {
-        gen.createDataset(Gen.transcriptsChunk(c, chunkConvs)).toDF()
-          .repartition(8)
-          .write.mode(if (c == 0) SaveMode.Overwrite else SaveMode.Append)
-          .parquet(s"$benchDir/transcripts")
-        System.err.println(s"chunk $c/$chunks written")
-      }
+      gen.range(0, chunks).repartition(math.min(chunks, cores))
+        .flatMap(c => Gen.transcriptsChunk(c.toInt, chunkConvs).iterator)
+        .toDF()
+        .write.mode(SaveMode.Overwrite).parquet(s"$benchDir/transcripts")
+      System.err.println(s"$chunks chunks written")
       val fx = Gen.fixture(0)
       gen.createDataset(fx.ioc).toDF().coalesce(1).write.mode(SaveMode.Overwrite)
         .parquet(s"$benchDir/ioc")
