@@ -13,16 +13,30 @@ import graft.operators._
   * first-seen / fingerprint / frequency state across runs, and records a
   * manifest with per-partition lineage + per-stage metrics.
   *
-  * Layout under `stateDir`:
+  * Layout under `stateDir` — each run writes a FULL, PRUNED state snapshot
+  * (not a delta), so readers load exactly ONE run's state regardless of how
+  * many runs came before, and state size stays bounded by the configured
+  * windows instead of growing with history:
   * {{{
-  *   run-<id>/seen_values/   (field, value)
-  *   run-<id>/fp_seen/       (fp, fp_bucket)
-  *   run-<id>/freq_counts/   (key, sec, cnt)
-  *   run-<id>/fired/         (key, reset_bucket)
+  *   run-<id>/seen_values/   (field, value)         — full merged set
+  *   run-<id>/fp_seen/       (fp, fp_bucket)        — only the live bucket(s):
+  *                           ascending batches mean a future row's bucket is
+  *                           ≥ this run's max bucket, so older buckets can
+  *                           never suppress anything again
+  *   run-<id>/freq_counts/   (key, sec, cnt)        — only secs within
+  *                           freqWindowSec of this run's max ts_sec (the only
+  *                           ones a future trailing window can reach)
+  *   run-<id>/fired/         (key, reset_bucket)    — only buckets ≥ the max
+  *                           ts_sec's reset bucket
+  *   run-<id>/input_files/   (file)                 — lineage, written as a
+  *                           DataFrame (never collected to the driver)
   *   manifest/run-<id>.json  (written LAST — a run without a manifest is
-  *                            invisible to readers, so crashes are safe and
-  *                            re-runs are idempotent)
+  *                            invisible to state readers, so crashes are safe)
   * }}}
+  * Sink idempotency: alerts land under `alerts_all/run_id=<id>/severity=…`
+  * via dynamic partition overwrite, so replaying a crashed run REPLACES its
+  * own partitions instead of appending duplicates.
+  *
   * The analogue of the sig filter's periodic state-DB save/restore
   * («sig.rb» drop/new-value DB persistence, SURVEY §2.1 S6) — but exactly
   * once and resumable instead of best-effort in-memory. */
@@ -48,50 +62,59 @@ object Incremental {
     out.sorted.toSeq
   }
 
-  /** Union a state table across all completed runs. */
-  private def loadState(spark: SparkSession, stateDir: String,
+  /** A state table from the LATEST completed run only — snapshots are full,
+    * so one run dir is the entire state (O(1) in run count). */
+  private def loadLatest(spark: SparkSession, stateDir: String,
       table: String): Option[DataFrame] = {
-    val runs = completedRuns(stateDir)
-    val paths = runs.map(r => s"$stateDir/run-$r/$table")
-      .filter(p => Files.isDirectory(Paths.get(p)))
-    if (paths.isEmpty) None
-    else Some(spark.read.parquet(paths: _*))
+    completedRuns(stateDir).lastOption.flatMap { r =>
+      val p = s"$stateDir/run-$r/$table"
+      if (Files.isDirectory(Paths.get(p))) Some(spark.read.parquet(p)) else None
+    }
   }
 
   def loadFullState(spark: SparkSession, stateDir: String): Pipeline.State =
     Pipeline.State(
-      seenValues = loadState(spark, stateDir, "seen_values")
-        .map(_.select("field", "value").distinct()),
-      fpSeen = loadState(spark, stateDir, "fp_seen")
-        .map(_.select("fp", "fp_bucket").distinct()),
-      freqCounts = loadState(spark, stateDir, "freq_counts")
-        .map(_.groupBy("key", "sec").agg(sum("cnt").cast("long").as("cnt"))),
-      firedBuckets = loadState(spark, stateDir, "fired")
-        .map(_.select("key", "reset_bucket").distinct()))
+      seenValues = loadLatest(spark, stateDir, "seen_values")
+        .map(_.select("field", "value")),
+      fpSeen = loadLatest(spark, stateDir, "fp_seen")
+        .map(_.select("fp", "fp_bucket")),
+      freqCounts = loadLatest(spark, stateDir, "freq_counts")
+        .map(_.select("key", "sec", "cnt")),
+      firedBuckets = loadLatest(spark, stateDir, "fired")
+        .map(_.select("key", "reset_bucket")))
 
-  /** Run one batch with state, write sinks + state delta + manifest. */
+  /** Run one batch with state, write sinks + state snapshot + manifest. */
   def run(spark: SparkSession, turns: DataFrame, tables: RuleTables,
       conf: PipelineConf, stateDir: String, outDir: String,
       runId: String): RunResult = {
-    import spark.implicits._
     val state = loadFullState(spark, stateDir)
 
-    // --- plan with observe() metrics at each stage boundary
+    // --- plan with observe() metrics at each stage boundary.
+    // IMPORTANT: every observe node must sit BELOW a persist boundary —
+    // FirstSeen/Frequency reference `survivors` several times (aux fan-out),
+    // and a CollectMetrics node duplicated through those references reports
+    // NO metrics at all (observed empirically on Spark 4.1). Persisting the
+    // observed node makes downstream references hit the InMemoryRelation, so
+    // each observation executes exactly once.
     val obsIn = Observation(s"in-$runId")
     val obsDedup = Observation(s"dedup-$runId")
-    val obsSurv = Observation(s"surv-$runId")
     val obsOut = Observation(s"out-$runId")
 
     val parsed = Parse(turns, conf)
       .withColumn("_file", input_file_name())
       .observe(obsIn, count(lit(1)).as("n_input"),
         sum(when(col("parse_ok"), 1L).otherwise(0L)).as("n_parse_ok"))
+    // persisted at the DEDUP boundary with a whitelist MARKER column (rows
+    // not yet dropped): the fp_seen snapshot must record fingerprints of
+    // whitelisted rows too — in a single combined run, C1 dedup runs BEFORE
+    // C2 whitelist, so a duplicate whose first occurrence was whitelisted is
+    // still suppressed. Survivors are a narrow filter over this one cache.
     val deduped = Dedup(parsed, conf, state.fpSeen)
-      .observe(obsDedup, count(lit(1)).as("n_after_dedup"))
-    // the one persisted boundary (see Pipeline.enrichPlanned)
-    val survivors = Whitelist(deduped, tables.whitelist)
-      .observe(obsSurv, count(lit(1)).as("n_survivors"))
+      .withColumn("_wl", Whitelist.marker(tables.whitelist))
+      .observe(obsDedup, count(lit(1)).as("n_after_dedup"),
+        sum(when(!col("_wl"), 1L).otherwise(0L)).as("n_survivors"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val survivors = deduped.filter(!col("_wl")).drop("_wl")
     val enriched0 = RefCheck(
       SigRules(IocEnrich(survivors, tables.ioc), tables.sigRules),
       tables.ref, conf)
@@ -108,60 +131,121 @@ object Incremental {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
     try {
-      // --- sinks: alerts partitioned by severity, appended per run,
-      // salted so a hot severity band doesn't serialize into one task
-      Pipeline.saltedBySeverity(enriched.filter(col("routed")).drop("_file"),
+      // --- materialize both caches with a plain action FIRST: partitioned
+      // file writes do not reliably deliver observe() metrics when the
+      // written subset is empty (verified on Spark 4.1), a plain count does.
+      // Every downstream job below then reads the caches.
+      enriched.count()
+      val m = obsIn.get ++ obsDedup.get ++ obsOut.get
+      val metrics0 = m.map { case (k, v) => k -> v.asInstanceOf[Long] }
+
+      // --- sinks: alert documents partitioned by (run_id, severity); dynamic
+      // partition overwrite ⇒ a replayed run replaces its own partitions
+      // (idempotent) without touching other runs', and salting keeps a hot
+      // severity band from serializing into one write task
+      Pipeline.saltedBySeverity(
+        Pipeline.alertDocs(enriched.filter(col("routed")).drop("_file")),
         conf.saltBuckets)
-        .write.mode(SaveMode.Append).partitionBy("severity")
+        .withColumn("run_id", lit(runId))
+        .write.mode(SaveMode.Overwrite)
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("run_id", "severity")
         .parquet(s"$outDir/alerts_all")
 
-      // --- state deltas under run dir (invisible until manifest lands)
+      // --- time boundary of this batch (cheap: enriched is already cached by
+      // the sink action). Ascending non-overlapping batches ⇒ every future
+      // row has ts_sec ≥ maxSec, which is what makes pruning safe.
+      val maxSecRow = enriched.agg(max(col("ts_sec"))).first()
+      val maxSec: Option[Long] =
+        if (maxSecRow.isNullAt(0)) None else Some(maxSecRow.getLong(0))
+
+      // --- full, pruned state snapshot under run dir (invisible until the
+      // manifest lands)
       val runDir = s"$stateDir/run-$runId"
+
       val trackedVals = conf.trackedFields.map(f =>
         enriched.filter(col("parse_ok") && col(f).isNotNull && col(f) =!= "")
           .select(lit(f).as("field"), col(f).as("value"))).reduce(_ unionByName _)
         .distinct()
-      val seenDelta = state.seenValues match {
-        case Some(st) => trackedVals.join(st, Seq("field", "value"), "left_anti")
+      val seenSnap = state.seenValues match {
+        case Some(st) => trackedVals.unionByName(st).distinct()
         case None => trackedVals
       }
-      seenDelta.write.mode(SaveMode.Overwrite).parquet(s"$runDir/seen_values")
+      seenSnap.write.mode(SaveMode.Overwrite).parquet(s"$runDir/seen_values")
 
-      enriched.select(col("fp"), col("fp_bucket")).distinct()
-        .write.mode(SaveMode.Overwrite).parquet(s"$runDir/fp_seen")
+      // fp_seen from the POST-DEDUP, PRE-WHITELIST rows (see persist comment)
+      val batchFps = deduped.select(col("fp"), col("fp_bucket")).distinct()
+      val fpAll = state.fpSeen match {
+        case Some(st) => batchFps.unionByName(st.select("fp", "fp_bucket")).distinct()
+        case None => batchFps
+      }
+      val fpSnap = maxSec match {
+        case Some(s) => fpAll.filter(
+          col("fp_bucket") >= Math.floorDiv(s, conf.dedupDelaySec))
+        case None => fpAll
+      }
+      fpSnap.write.mode(SaveMode.Overwrite).parquet(s"$runDir/fp_seen")
 
-      Frequency.perSecCounts(enriched, conf)
-        .select(col("_k").as("key"), col("_s").as("sec"), col("_c").cast("long").as("cnt"))
-        .write.mode(SaveMode.Overwrite).parquet(s"$runDir/freq_counts")
+      val batchCounts = Frequency.perSecCounts(enriched, conf)
+        .select(col("_k").as("key"), col("_s").as("sec"),
+          col("_c").cast("long").as("cnt"))
+      val cntAll = state.freqCounts match {
+        case Some(p) => batchCounts.unionByName(p.select("key", "sec", "cnt"))
+          .groupBy("key", "sec").agg(sum(col("cnt")).cast("long").as("cnt"))
+        case None => batchCounts
+      }
+      val cntSnap = maxSec match {
+        case Some(s) => cntAll.filter(col("sec") >= s - conf.freqWindowSec)
+        case None => cntAll
+      }
+      cntSnap.write.mode(SaveMode.Overwrite).parquet(s"$runDir/freq_counts")
 
-      enriched.filter(col("freq_hit"))
+      val batchFired = enriched.filter(col("freq_hit"))
         .select(col(conf.freqKey).as("key"),
           floor(col("ts_sec") / conf.freqResetSec).as("reset_bucket")).distinct()
-        .write.mode(SaveMode.Overwrite).parquet(s"$runDir/fired")
+      val firedAll = state.firedBuckets match {
+        case Some(fb) => batchFired.unionByName(fb.select("key", "reset_bucket"))
+          .distinct()
+        case None => batchFired
+      }
+      val firedSnap = maxSec match {
+        case Some(s) => firedAll.filter(
+          col("reset_bucket") >= Math.floorDiv(s, conf.freqResetSec))
+        case None => firedAll
+      }
+      firedSnap.write.mode(SaveMode.Overwrite).parquet(s"$runDir/fired")
 
-      // --- lineage: exact input files this run consumed
-      val files = enriched.select("_file").distinct().as[String].collect().toSeq.sorted
+      // --- lineage: exact input files this run consumed, written distributed
+      // (never an O(files) driver collect — at 100 TB that's millions of
+      // entries). The manifest records the count + a bounded sample.
+      val fileDf = enriched.select(col("_file").as("file")).distinct()
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      fileDf.write.mode(SaveMode.Overwrite).parquet(s"$runDir/input_files")
+      val nFiles = fileDf.count()
+      val fileSample = fileDf.orderBy("file").limit(100).collect()
+        .map(_.getString(0)).toSeq
+      fileDf.unpersist()
 
-      val m = obsIn.get ++ obsDedup.get ++ obsSurv.get ++ obsOut.get
-      val metrics = m.map { case (k, v) => k -> v.asInstanceOf[Long] }
+      val metrics = metrics0 + ("n_input_files" -> nFiles)
       val sinkCounts = severities.map(s => s -> metrics(s"sink_$s")).toMap
 
-      writeManifest(stateDir, runId, metrics, files)
-      RunResult(runId, sinkCounts, metrics, files)
+      writeManifest(stateDir, runId, metrics, fileSample)
+      RunResult(runId, sinkCounts, metrics, fileSample)
     } finally {
-      enriched.unpersist(); survivors.unpersist()
+      enriched.unpersist(); deduped.unpersist()
     }
   }
 
   /** Manifest written atomically (tmp + move) and LAST. */
   private def writeManifest(stateDir: String, runId: String,
-      metrics: Map[String, Long], files: Seq[String]): Unit = {
+      metrics: Map[String, Long], fileSample: Seq[String]): Unit = {
     def q(s: String) = "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
     val json =
       s"""{"run_id": ${q(runId)},
          | "metrics": {${metrics.toSeq.sortBy(_._1)
         .map { case (k, v) => s"${q(k)}: $v" }.mkString(", ")}},
-         | "input_files": [${files.map(q).mkString(", ")}],
+         | "input_files_sample": [${fileSample.map(q).mkString(", ")}],
+         | "input_files_table": ${q(s"run-$runId/input_files")},
          | "completed": true}""".stripMargin
     val dir = Paths.get(stateDir, "manifest")
     Files.createDirectories(dir)

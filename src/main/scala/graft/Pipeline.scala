@@ -1,6 +1,6 @@
 package graft
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.model._
@@ -79,6 +79,57 @@ object Pipeline {
     (Scoring(stateful, conf), () => handles.foreach(_.unpersist()))
   }
 
+  // latest managed enrich's cache-release thunk (see enrichManaged)
+  private val managedCleanup =
+    new java.util.concurrent.atomic.AtomicReference[() => Unit](() => ())
+
+  /** enrichPlanned for fire-and-forget callers (the driver-harness queries,
+    * SparkEntry.entry): the returned DataFrame still benefits from the diamond
+    * persist, and the PREVIOUS managed call's cache is released first — the
+    * harness runs queries sequentially, so at most one managed plan's caches
+    * are ever live (no unbounded persist leak, no
+    * "Asked to cache already cached data" re-persist warnings). Callers that
+    * control their own lifecycle should use enrichPlanned + the thunk. */
+  def enrichManaged(turns: DataFrame, tables: RuleTables,
+      conf: PipelineConf, state: State = State.empty): DataFrame = {
+    val (df, cleanup) = enrichPlanned(turns, tables, conf, state)
+    managedCleanup.getAndSet(cleanup)()
+    df
+  }
+
+  /** Release the caches of the last enrichManaged plan (idempotent). */
+  def releaseManaged(): Unit = managedCleanup.getAndSet(() => ())()
+
+  /** FIR alert-document projection (SURVEY §2.1 S4): the reference's output
+    * plugin posts an incident document — subject, category, severity — not a
+    * raw event. category = the hit kind contributing the most score (ties by
+    * detection priority sig > ioc > ref > new > freq); subject is a compact
+    * human line. Pure narrow column work — zero extra shuffles. */
+  def alertDocs(enriched: DataFrame): DataFrame = {
+    val kinds = Seq("sig", "ioc", "ref", "new", "freq")
+    def kindScore(k: String): Column =
+      aggregate(filter(col("hits"), h => h.getField("kind") === k),
+        lit(0), (acc, h) => acc + h.getField("score"))
+    val withKs = kinds.foldLeft(enriched)((df, k) =>
+      df.withColumn(s"_ks_$k", kindScore(k)))
+    val category = kinds.init.zipWithIndex.foldLeft(None: Option[Column]) {
+      case (acc, (k, i)) =>
+        val rest = kinds.drop(i + 1).map(r => col(s"_ks_$r"))
+        val hi = if (rest.size == 1) rest.head else greatest(rest: _*)
+        Some(acc match {
+          case None => when(col(s"_ks_$k") >= hi, k)
+          case Some(w) => w.when(col(s"_ks_$k") >= hi, k)
+        })
+    }.get.otherwise(kinds.last)
+    withKs
+      .withColumn("category", category)
+      .withColumn("subject", concat(
+        lit("["), col("severity"), lit("] "), col("category"),
+        lit(" conv="), col("conv_id"), lit("#"), col("turn_idx"),
+        lit(" note="), col("note")))
+      .drop(kinds.map(k => s"_ks_$k"): _*)
+  }
+
   /** Per-signature rollup: counts + score mass + distinct conversations
     * (approx at scale; exact variant used in tests). */
   def rollupBySignature(enriched: DataFrame): DataFrame =
@@ -114,7 +165,7 @@ object Pipeline {
       val aggs = severities.map(s =>
         sum(when(col("routed") && col("severity") === s, 1L).otherwise(0L)).as(s"n_$s"))
       val observed = cached.observe(obs, aggs.head, aggs.tail: _*)
-      saltedBySeverity(observed.filter(col("routed")), conf.saltBuckets)
+      saltedBySeverity(alertDocs(observed.filter(col("routed"))), conf.saltBuckets)
         .write.mode("overwrite").partitionBy("severity")
         .parquet(s"$outDir/alerts_all")
       rollupBySignature(cached).write.mode("overwrite")

@@ -13,9 +13,9 @@ object SparkEntry {
   /** Flagship: full parse→enrich→score chain over sf0.001 events-as-turns,
     * severity distribution over ALL enriched rows (always non-empty). */
   def entry(spark: SparkSession): DataFrame =
-    Pipeline.enrichPlanned(
+    Pipeline.enrichManaged(
       TestdataAdapter.turns(spark, "/root/testdata/sf0.001"),
-      TestdataTables.rules(spark), LogQueries.tconf)._1
+      TestdataTables.rules(spark), LogQueries.tconf)
       .groupBy("severity").count()
 
   /** One entry per implemented operator from SURVEY.md §2. */

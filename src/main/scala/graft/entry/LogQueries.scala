@@ -458,7 +458,7 @@ scored AS (
     Q("c8_scoring", sqlFull(
       """SELECT conv_id, turn_idx, note, severity, routed FROM scored
         |ORDER BY conv_id, turn_idx""".stripMargin)) { (s, d) =>
-      Pipeline.enrichPlanned(T(s, d), TestdataTables.rules(s), tconf)._1
+      Pipeline.enrichManaged(T(s, d), TestdataTables.rules(s), tconf)
         .select("conv_id", "turn_idx", "note", "severity", "routed")
         .orderBy("conv_id", "turn_idx")
     },
@@ -467,7 +467,7 @@ scored AS (
       """SELECT severity, count(*) AS n FROM scored WHERE routed
         |GROUP BY severity ORDER BY severity""".stripMargin)) { (s, d) =>
       Pipeline.rollupBySink(
-        Pipeline.enrichPlanned(T(s, d), TestdataTables.rules(s), tconf)._1)
+        Pipeline.enrichManaged(T(s, d), TestdataTables.rules(s), tconf))
         .orderBy("severity")
     },
 

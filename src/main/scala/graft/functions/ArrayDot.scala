@@ -58,8 +58,12 @@ case class ArrayDot(left: Expression, right: Expression) extends BinaryExpressio
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
     val m = if (elemType == FloatType) "dotFF" else "dotDD"
-    val vm = VecMath.getClass.getName.stripSuffix("$") + ".MODULE$"
-    nullSafeCodeGen(ctx, ev, (a, b) => s"${ev.value} = $vm.$m($a, $b);")
+    // addReferenceObj (not a MODULE$ static path): janino resolves the
+    // forwarder class, which has no MODULE$ field — a static reference there
+    // failed to compile and silently dropped the whole stage to interpreted
+    // eval (round-1 bench tail error).
+    val ref = ctx.addReferenceObj("vecMath", VecMath, VecMath.getClass.getName)
+    nullSafeCodeGen(ctx, ev, (a, b) => s"${ev.value} = $ref.$m($a, $b);")
   }
 
   override protected def withNewChildrenInternal(

@@ -92,13 +92,14 @@ object Dedup {
 /** C2 whitelist / first-stop rules: compiled predicate, applied BEFORE the
   * enrich joins so Catalyst can push it toward the scan. */
 object Whitelist {
+  /** The compiled whitelist predicate (true = row is whitelisted/dropped). */
+  def marker(rules: Seq[WhitelistRule]): Column =
+    if (rules.isEmpty) lit(false)
+    else coalesce(rules.map(r => ClauseCompiler.predicate(r.field, r.op, r.arg))
+      .reduce(_ || _), lit(false))
+
   def apply(df: DataFrame, rules: Seq[WhitelistRule]): DataFrame =
-    if (rules.isEmpty) df
-    else {
-      val pred = rules.map(r => ClauseCompiler.predicate(r.field, r.op, r.arg))
-        .reduce(_ || _)
-      df.filter(!coalesce(pred, lit(false)))
-    }
+    if (rules.isEmpty) df else df.filter(!marker(rules))
 }
 
 /** C3 IOC enrichment: one BROADCAST hash left-outer join per IOC kind against

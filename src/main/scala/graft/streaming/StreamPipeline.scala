@@ -96,7 +96,7 @@ object StreamPipeline {
           .withColumn("routed", col("note") >= conf.firThreshold)
           .persist()
         try {
-          cached.filter(col("routed"))
+          graft.Pipeline.alertDocs(cached.filter(col("routed")))
             .write.mode("append").partitionBy("severity")
             .parquet(s"$outDir/alerts_all")
           ()

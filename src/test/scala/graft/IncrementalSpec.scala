@@ -84,6 +84,79 @@ class IncrementalSpec extends SparkSuite {
     assert((r1.sinkCounts.values.sum + r2.sinkCounts.values.sum) === single.size.toLong)
   }
 
+  test("5-run chain: alerts equal single run; state snapshot bounded to trailing window") {
+    val fx = Gen.fixture(300)
+    val tb = tables(fx)
+    // cut into 5 contiguous, non-overlapping ts ranges (equal-ts rows never straddle)
+    val tsVals = fx.turns.map(_.ts.getTime).distinct.sorted
+    val cuts = (1 to 4).map(i => tsVals((tsVals.size * i) / 5))
+    val bounds = (Long.MinValue +: cuts) :+ Long.MaxValue
+    val batches = bounds.sliding(2).map { case Seq(lo, hi) =>
+      fx.turns.filter(t => t.ts.getTime >= lo && t.ts.getTime < hi)
+    }.toSeq
+    assert(batches.size === 5 && batches.forall(_.nonEmpty))
+
+    val stateDir = Files.createTempDirectory("graft-state").toString
+    val outDir = Files.createTempDirectory("graft-out").toString
+    batches.zipWithIndex.foreach { case (b, i) =>
+      Incremental.run(spark, spark.createDataset(b).toDF(), tb, fx.conf,
+        stateDir, outDir, f"000${i + 1}")
+    }
+    assert(Incremental.completedRuns(stateDir).size === 5)
+
+    // (a) the 5 runs' appended alerts == single-run routed rows, exactly
+    val single = Pipeline.enrich(spark.createDataset(fx.turns).toDF(), tb, fx.conf)
+      .filter(col("routed")).select("conv_id", "turn_idx", "note").collect()
+      .map(r => (r.getString(0), r.getInt(1), r.getInt(2))).sortBy(t => (t._1, t._2)).toSeq
+    val appended = spark.read.parquet(s"$outDir/alerts_all")
+      .select("conv_id", "turn_idx", "note").collect()
+      .map(r => (r.getString(0), r.getInt(1), r.getInt(2))).sortBy(t => (t._1, t._2)).toSeq
+    assert(appended === single)
+
+    // (b) state is a bounded snapshot, not O(history): freq secs span at most
+    // one trailing window, fp/fired keep only the live bucket
+    val st = Incremental.loadFullState(spark, stateDir)
+    val mm = st.freqCounts.get.agg(min(col("sec")), max(col("sec"))).first()
+    assert(mm.getLong(1) - mm.getLong(0) <= fx.conf.freqWindowSec,
+      s"freq_counts span ${mm.getLong(1) - mm.getLong(0)}s > window ${fx.conf.freqWindowSec}s")
+    assert(st.fpSeen.get.select("fp_bucket").distinct().count() <= 1)
+    st.firedBuckets.foreach(fb =>
+      assert(fb.select("reset_bucket").distinct().count() <= 1))
+  }
+
+  test("fp_seen is recorded pre-whitelist: whitelisted first occurrence still suppresses the duplicate") {
+    import java.sql.Timestamp
+    val conf = PipelineConf(dedupDelaySec = 100000L)
+    val wl = Seq(WhitelistRule("role", "eq", "system"))
+    val text = "login user=u001 src=10.0.0.1 dst=host1.corp.example status=200 " +
+      s"hash=${Gen.md5("file-1")} uri=/api/v1/r1"
+    val a = Seq(
+      Turn("c1", 0, "system", text, "", new Timestamp(Gen.BaseEpochSec * 1000L)),
+      Turn("c2", 0, "user", "unparsed noise line", "",
+        new Timestamp((Gen.BaseEpochSec + 1) * 1000L)))
+    // same text, same dedup bucket, later ts, NON-whitelisted role
+    val b = Seq(
+      Turn("c1", 1, "user", text, "", new Timestamp((Gen.BaseEpochSec + 10) * 1000L)))
+    val tb = RuleTables(spark.createDataset(Seq.empty[IocEntry]).toDF(),
+      Seq.empty, spark.createDataset(Seq.empty[RefEntry]).toDF(), wl)
+
+    val single = comparable(Pipeline.enrich(spark.createDataset(a ++ b).toDF(), tb, conf))
+
+    val stateDir = Files.createTempDirectory("graft-state").toString
+    val outDir = Files.createTempDirectory("graft-out").toString
+    Incremental.run(spark, spark.createDataset(a).toDF(), tb, conf,
+      stateDir, outDir, "0001")
+    val st = Incremental.loadFullState(spark, stateDir)
+    val split = (comparable(Pipeline.enrich(spark.createDataset(a).toDF(), tb, conf)) ++
+      comparable(Pipeline.enrich(spark.createDataset(b).toDF(), tb, conf, st)))
+      .sortBy(t => (t._1, t._2))
+
+    assert(split === single)
+    // the b-duplicate must be suppressed even though its first occurrence was
+    // whitelisted (fp recorded post-dedup, PRE-whitelist)
+    assert(!split.exists(r => r._1 == "c1" && r._2 == 1))
+  }
+
   test("state without manifest is invisible (crash safety)") {
     val fx = Gen.fixture(40)
     val tb = tables(fx)
