@@ -23,14 +23,14 @@ object GraftExtensions {
   import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
 
   private def build(exprs: Seq[Expression]): Expression = {
-    require(exprs.size == 2, "grok_struct(text, 'pattern')")
-    val pat = exprs(1) match {
+    require(exprs.size >= 2, "grok_struct(text, 'pattern'[, 'fallback', ...])")
+    val pats = exprs.tail.map {
       case lit if lit.foldable => String.valueOf(lit.eval())
       case other => throw new IllegalArgumentException(
-        s"grok_struct pattern must be a literal, got $other")
+        s"grok_struct patterns must be literals, got $other")
     }
-    val g = GrokCompiler.compile(pat)
-    RegexStructExtract(exprs.head, g.regex, g.fields)
+    val g = GrokCompiler.compileMulti(pats)
+    RegexStructExtract(exprs.head, g.patterns.map(_.regex), g.groupMaps, g.fields)
   }
 
   val grokStructDescriptor

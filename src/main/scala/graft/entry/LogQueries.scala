@@ -143,6 +143,28 @@ scored AS (
         .orderBy("conv_id", "turn_idx")
     },
 
+    // P1 multi-pattern fallback: Logstash grok takes a pattern LIST, first
+    // match wins; '_grokparsefailure' only when ALL miss. The fallback below
+    // catches the adapter's unstructured "noise …" lines that the primary
+    // pattern rejects.
+    Q("p1b_grok_multi", {
+      val rx2 = GrokCompiler.compile("%{WORD:action} %{GREEDYDATA:uri}").regex
+      sqlT(
+        s"""SELECT conv_id, turn_idx,
+           |  CASE WHEN regexp_matches(text, '$rx') THEN NULLIF(regexp_extract(text, '$rx', 1), '')
+           |       WHEN regexp_matches(text, '$rx2') THEN NULLIF(regexp_extract(text, '$rx2', 1), '') END AS action,
+           |  CASE WHEN regexp_matches(text, '$rx') THEN NULLIF(regexp_extract(text, '$rx', 7), '')
+           |       WHEN regexp_matches(text, '$rx2') THEN NULLIF(regexp_extract(text, '$rx2', 2), '') END AS uri,
+           |  (regexp_matches(text, '$rx') OR regexp_matches(text, '$rx2')) AS parse_ok
+           |FROM turns ORDER BY conv_id, turn_idx""".stripMargin)
+    }) { (s, d) =>
+      val conf2 = tconf.copy(grokFallbacks = Seq("%{WORD:action} %{GREEDYDATA:uri}"))
+      Parse(T(s, d), conf2).select(col("conv_id"), col("turn_idx"),
+        nullif(col("action"), lit("")).as("action"),
+        nullif(col("uri"), lit("")).as("uri"), col("parse_ok"))
+        .orderBy("conv_id", "turn_idx")
+    },
+
     Q("p2_dissect", sqlT(
       """SELECT conv_id, turn_idx, split_part(text, ' ', 1) AS tok0, split_part(text, ' ', 2) AS tok1
         |FROM turns ORDER BY conv_id, turn_idx""".stripMargin)) { (s, d) =>

@@ -37,6 +37,23 @@ object GrokCompiler {
     def groupOf(field: String): Int = fields.indexOf(field) + 1
   }
 
+  /** Multi-pattern grok: Logstash `match` takes a LIST of patterns and the
+    * first that matches wins («grok» docs; `_grokparsefailure` only when ALL
+    * miss). `fields` = union of every pattern's fields in first-appearance
+    * order; `groupMaps(k)(i)` = unified field index of pattern k's capture
+    * group i+1. */
+  final case class MultiGrok(patterns: Seq[CompiledGrok], fields: Seq[String]) {
+    val groupMaps: Seq[Seq[Int]] = patterns.map(_.fields.map(fields.indexOf))
+  }
+
+  /** Compile a first-match-wins pattern list (size 1 = plain grok). */
+  def compileMulti(patterns: Seq[String],
+      library: Map[String, String] = Library): MultiGrok = {
+    require(patterns.nonEmpty, "at least one grok pattern required")
+    val compiled = patterns.map(p => compile(p, library))
+    MultiGrok(compiled, compiled.flatMap(_.fields).distinct)
+  }
+
   private val Ref = "%\\{(\\w+)(?::(\\w+))?\\}".r
 
   /** Expand `%{NAME:field}` refs. Literal text between refs passes through as

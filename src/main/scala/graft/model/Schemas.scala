@@ -59,6 +59,10 @@ case class Hit(rule_id: Int, name: String, score: Int, kind: String)
 /** All pipeline thresholds in one place so tests can pin them (FIXTURES.md §3). */
 case class PipelineConf(
     grokPattern: String = PipelineConf.DefaultGrok,
+    /** Fallback grok patterns, tried in order after `grokPattern` — Logstash
+      * `match` list semantics: first match wins, `_grokparsefailure` only
+      * when all miss. */
+    grokFallbacks: Seq[String] = Nil,
     trackedFields: Seq[String] = Seq("user", "dst_host"),
     freqKey: String = "conv_id",
     freqWindowSec: Long = 60L,

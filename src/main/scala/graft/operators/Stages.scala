@@ -39,11 +39,12 @@ object ClauseCompiler {
       score.cast("int").as("score"), lit(kind).as("kind"))
 }
 
-/** P1 grok parse: ONE regex match per row via [[RegexStructExtract]];
-  * null struct ⇒ `parse_ok=false` (`_grokparsefailure` analogue). Narrow. */
+/** P1 grok parse: ONE pass over the pattern list per row (first match wins)
+  * via [[RegexStructExtract]]; null struct ⇒ `parse_ok=false`
+  * (`_grokparsefailure` analogue — only when ALL patterns miss). Narrow. */
 object Parse {
   def apply(turns: DataFrame, conf: PipelineConf): DataFrame = {
-    val g = GrokCompiler.compile(conf.grokPattern)
+    val g = GrokCompiler.compileMulti(conf.grokPattern +: conf.grokFallbacks)
     // NTZ inputs (driver testdata) are pinned to the UTC session zone so
     // epoch arithmetic is deterministic and matches the DuckDB oracle.
     val tsUtc = col("ts").cast("timestamp")

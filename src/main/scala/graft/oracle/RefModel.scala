@@ -66,8 +66,10 @@ object RefModel {
       seenValues: Set[(String, String)] = Set.empty,
       seenFps: Set[(String, Long)] = Set.empty): Seq[OracleRow] = {
 
-    val grok = GrokCompiler.compile(conf.grokPattern)
-    val pat = Pattern.compile(grok.regex)
+    // pattern LIST, first match wins (mirrors Parse/GrokMatcher)
+    val groks = (conf.grokPattern +: conf.grokFallbacks)
+      .map(p => GrokCompiler.compile(p))
+    val pats = groks.map(g => Pattern.compile(g.regex))
     val tsSec: Turn => Long = t => t.ts.getTime / 1000L
     val tsMicros: Turn => Long = t => t.ts.getTime * 1000L
 
@@ -77,13 +79,17 @@ object RefModel {
     // ---- parse
     case class P(t: Turn, fields: Map[String, String], ok: Boolean)
     val parsed = ordered.map { t =>
-      val m = pat.matcher(t.text)
-      if (m.find()) {
-        val fs = grok.fields.zipWithIndex.flatMap { case (f, i) =>
+      val hit = groks.zip(pats).iterator.map { case (g, pat) =>
+        val m = pat.matcher(t.text)
+        if (m.find()) Some(g.fields.zipWithIndex.flatMap { case (f, i) =>
           Option(m.group(i + 1)).map(f -> _)
-        }.toMap
-        P(t, fs, ok = true)
-      } else P(t, Map.empty, ok = false)
+        }.toMap)
+        else None
+      }.collectFirst { case Some(fs) => fs }
+      hit match {
+        case Some(fs) => P(t, fs, ok = true)
+        case None => P(t, Map.empty, ok = false)
+      }
     }
 
     // ---- C1 fingerprint dedup: fp = text; keep first per (fp, delay-bucket);
