@@ -1,8 +1,17 @@
 package graft
 import org.apache.spark.sql.SparkSession
-import org.apache.spark.sql.functions._
 
 object Bench {
+  private def jq(s: String): String = "\"" + s.flatMap {
+    case '"' => "\\\""
+    case '\\' => "\\\\"
+    case '\n' => "\\n"
+    case '\r' => "\\r"
+    case '\t' => "\\t"
+    case c if c < ' ' => f"\\u${c.toInt}%04x"
+    case c => c.toString
+  } + "\""
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -14,32 +23,48 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // fail-loud per query: a broken query must NOT look like a fast query —
+    // it is excluded from the timing sum and reported in "errors"
+    val errors = scala.collection.mutable.SortedMap.empty[String, String]
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      val ok =
+        try { fn(spark, sfDir).count(); true }
+        catch { case e: Throwable =>
+          errors(name) = e.toString
+          System.err.println(s"[bench] $name FAILED:")
+          e.printStackTrace()
+          false
+        }
+      name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
     }
-    // headline metric (BASELINE.md): end-to-end pipeline turns/sec over the
-    // events-as-turns mapping of this sf dir (warm: second run timed)
+    // headline metric (BASELINE.md): end-to-end parse→enrich→ROUTE→aggregate
+    // turns/sec over the events-as-turns mapping of this sf dir — the sink
+    // fan-out write is INSIDE the timed pass (warm: second run timed)
     val e2e = {
+      val outDir = java.nio.file.Files.createTempDirectory("graft-bench-route").toString
       def once(): (Long, Double) = {
         val t0 = System.nanoTime()
         val (enriched, cleanup) = Pipeline.enrichPlanned(
           graft.entry.TestdataAdapter.turns(spark, sfDir),
           graft.entry.TestdataTables.rules(spark), graft.entry.LogQueries.tconf)
         try {
+          val counts = Pipeline.route(spark, enriched, graft.entry.LogQueries.tconf, outDir)
           val n = enriched.count()
+          require(counts.values.sum > 0, "route produced no alerts")
           (n, (System.nanoTime() - t0) / 1e9)
         } finally cleanup()
       }
       once(); val (n, w) = once()
       n / w
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
+    val qs = results.map { case (k, v) => jq(k) + ":" + v }.mkString("{", ",", "}")
+    val errJson = errors.map { case (k, v) => jq(k) + ":" + jq(v) }.mkString("{", ",", "}")
+    val total = results.values.filter(_ >= 0).sum
+    println(s"""{"metric":"total","value":$total,"unit":"sec","n_failed":${errors.size},""" +
+      s""""errors":$errJson,"queries":$qs,""" +
       s""""e2e_turns_per_sec":$e2e,"cpus":$cpus,"sf":"$sfDir"}""")
     spark.stop()
+    if (errors.nonEmpty) sys.exit(1)
   }
 }

@@ -17,18 +17,36 @@ import org.apache.spark.sql.functions._
   * scale paths (candidates only within shared buckets). */
 object DataPipeQueries {
 
+  /** Latest-only persist registry for harness queries that fan one expensive
+    * subtree (e.g. the shingle arrays) into several joins: `cycle(df)`
+    * releases the PREVIOUS query's cache and persists df for this one — the
+    * harness runs queries sequentially, so at most one query's cache is ever
+    * live (same pattern as Pipeline.enrichManaged). */
+  private val cacheHandle =
+    new java.util.concurrent.atomic.AtomicReference[Option[DataFrame]](None)
+  private def cycle(df: DataFrame): DataFrame = {
+    val cached = df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    cacheHandle.getAndSet(Some(cached)).foreach(_.unpersist())
+    cached
+  }
+
   private def docs(s: SparkSession, d: String): DataFrame =
     s.read.parquet(s"$d/documents.parquet")
   private def embs(s: SparkSession, d: String): DataFrame =
     s.read.parquet(s"$d/embeddings.parquet")
 
-  /** words / distinct word-3-gram shingles of `text` (Spark side). */
+  /** words / distinct word-3-gram shingles of `text` (Spark side).
+    * The words array is bound ONCE per row via a single-element transform
+    * lambda — referencing `split(text, ' ')` inside the shingle lambda would
+    * re-split the whole text per shingle (O(words²) character work per doc;
+    * lambda bodies defeat codegen subexpression elimination). */
   private val wordsCol = split(col("text"), " ")
   private def shinglesExpr = expr(
-    """array_distinct(transform(sequence(0, size(split(text, ' ')) - 3),
-      |  i -> concat(element_at(split(text, ' '), i + 1), ' ',
-      |              element_at(split(text, ' '), i + 2), ' ',
-      |              element_at(split(text, ' '), i + 3))))""".stripMargin)
+    """element_at(transform(array(split(text, ' ')), ws ->
+      |  array_distinct(transform(sequence(0, size(ws) - 3),
+      |    i -> concat(element_at(ws, i + 1), ' ',
+      |                element_at(ws, i + 2), ' ',
+      |                element_at(ws, i + 3))))), 1)""".stripMargin)
 
   /** DuckDB: distinct word-3-gram shingle list (single line — embedded in
     * stripMargin templates, so it must not start lines with '|'). */
@@ -71,8 +89,17 @@ object DataPipeQueries {
         .orderBy("keep_id")
     },
 
-    // ---- n-gram Jaccard near-dup pairs (integer-exact threshold 0.5):
-    // inverted shingle index self-join; τ check 3*inter >= na+nb.
+    // ---- n-gram Jaccard near-dup pairs (integer-exact threshold 0.5; the
+    // DuckDB oracle stays the naive full inverted-index join).
+    //
+    // Spark side is EXACT prefix filtering (AllPairs/PPJoin, Bayardo et al.
+    // WWW'07): order shingles globally by ascending document frequency; for
+    // Jaccard ≥ 1/2 a pair must share ≥ ⌈n/2⌉ shingles, so each doc only
+    // needs its ⌊n/2⌋+1 RAREST shingles in the candidate index — a stop
+    // shingle in k docs no longer yields k² candidate pairs, because high-df
+    // shingles fall out of the prefixes. Candidates are then verified
+    // exactly with array_intersect, so the result is identical to the naive
+    // join (lossless, not an approximation).
     Q("dd_ngram_jaccard",
       s"""WITH sh AS (
          |  SELECT doc_id, unnest($shinglesSqlD) AS sh,
@@ -86,14 +113,36 @@ object DataPipeQueries {
          |SELECT i, j, CAST(inter AS BIGINT) AS inter,
          |  CAST(na AS BIGINT) AS na, CAST(nb AS BIGINT) AS nb
          |FROM pairs WHERE 3 * inter >= na + nb ORDER BY i, j""".stripMargin) { (s, d) =>
-      val sh = docs(s, d).filter(size(wordsCol) >= 3)
+      // docsh fans into 4 consumers (token index + both verify sides) —
+      // persist via the latest-only cycle() so the shingle arrays are
+      // computed once per query, not once per consumer
+      val docsh = cycle(docs(s, d).filter(size(wordsCol) >= 3)
         .select(col("doc_id"), shinglesExpr.as("shs"))
-        .select(col("doc_id"), size(col("shs")).as("nsh"), explode(col("shs")).as("sh"))
-      val a = sh.select(col("doc_id").as("i"), col("nsh").as("na"), col("sh"))
-      val b = sh.select(col("doc_id").as("j"), col("nsh").as("nb"), col("sh"))
-      a.join(b, a("sh") === b("sh") && a("i") < b("j"))
-        .groupBy("i", "j")
-        .agg(count(lit(1)).as("inter"), first(col("na")).as("na"), first(col("nb")).as("nb"))
+        .select(col("doc_id"), col("shs"), size(col("shs")).as("nsh")))
+      // candidate generation runs on 64-bit shingle hashes (cheap shuffles,
+      // no long strings); a hash collision can only ADD a candidate, never
+      // drop one, and the exact array_intersect verification removes it
+      val tok = docsh.select(col("doc_id"), col("nsh"), explode(col("shs")).as("sh"))
+        .select(col("doc_id"), col("nsh"), xxhash64(col("sh")).as("shh"))
+      val dfreq = tok.groupBy("shh").agg(count(lit(1)).as("df"))
+      val prefix = tok.join(dfreq, "shh")
+        .withColumn("rk", row_number().over(
+          Window.partitionBy("doc_id").orderBy(col("df"), col("shh"))))
+        .filter(col("rk") <= floor(col("nsh") / 2) + 1)
+        .select("doc_id", "shh")
+      val cand = prefix.as("a")
+        .join(prefix.as("b"),
+          col("a.shh") === col("b.shh") && col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("i"), col("b.doc_id").as("j")).distinct()
+      // per-document shingle-array dim is tiny relative to the candidate
+      // pairs — broadcast both verify sides (at cluster scale AQE falls back
+      // to shuffle joins keyed by i/j, which partitions cleanly)
+      cand
+        .join(broadcast(docsh.select(col("doc_id").as("i"), col("shs").as("sa"),
+          col("nsh").as("na"))), "i")
+        .join(broadcast(docsh.select(col("doc_id").as("j"), col("shs").as("sb"),
+          col("nsh").as("nb"))), "j")
+        .withColumn("inter", size(array_intersect(col("sa"), col("sb"))).cast("long"))
         .filter(lit(3) * col("inter") >= col("na") + col("nb"))
         .select(col("i"), col("j"), col("inter"), col("na"), col("nb"))
         .orderBy("i", "j")
@@ -117,19 +166,22 @@ object DataPipeQueries {
          |FROM bands a JOIN bands b
          |  ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id
          |ORDER BY i, j""".stripMargin) { (s, d) =>
+      // the 12 minhashes are 12 min() AGGREGATE columns over the un-exploded
+      // shingle rows (not a 12× seed explode — that multiplied shuffle input
+      // by MinhashSeeds); band signatures are then a narrow concat + a
+      // 3-element explode of the per-doc row.
       val sh = docs(s, d).filter(size(wordsCol) >= 3)
         .select(col("doc_id"), explode(shinglesExpr).as("sh"))
-      val mh = sh
-        .select(col("doc_id"), col("sh"),
-          explode(sequence(lit(0), lit(MinhashSeeds - 1))).as("seed"))
-        .select(col("doc_id"), col("seed"),
-          md5(concat(col("sh"), lit("#"), col("seed").cast("string"))).as("h"))
-        .groupBy("doc_id", "seed").agg(min(col("h")).as("mh"))
-      val bands = mh
-        .withColumn("band", (col("seed") / BandSize).cast("int"))
-        .groupBy("doc_id", "band")
-        .agg(array_join(transform(array_sort(collect_list(struct(col("seed"), col("mh")))),
-          x => x.getField("mh")), "|").as("sig"))
+      val mhAggs = (0 until MinhashSeeds).map(k =>
+        min(md5(concat(col("sh"), lit(s"#$k")))).as(s"mh$k"))
+      val mh = sh.groupBy("doc_id").agg(mhAggs.head, mhAggs.tail: _*)
+      val nBands = MinhashSeeds / BandSize
+      val bandStructs = (0 until nBands).map(b =>
+        struct(lit(b).as("band"),
+          concat_ws("|", (0 until BandSize).map(k => col(s"mh${b * BandSize + k}")): _*)
+            .as("sig")))
+      val bands = mh.select(col("doc_id"), explode(array(bandStructs: _*)).as("bs"))
+        .select(col("doc_id"), col("bs.band").as("band"), col("bs.sig").as("sig"))
       val a = bands.select(col("doc_id").as("i"), col("band"), col("sig"))
       val b = bands.select(col("doc_id").as("j"), col("band").as("band2"), col("sig").as("sig2"))
       a.join(b, col("band") === col("band2") && col("sig") === col("sig2") && col("i") < col("j"))
