@@ -38,7 +38,11 @@ object LogQueries {
     CAST(NULLIF(regexp_extract(text, '$rx', 5), '') AS INT) AS status,
     NULLIF(regexp_extract(text, '$rx', 6), '') AS hashv,
     NULLIF(regexp_extract(text, '$rx', 7), '') AS uri,
-    regexp_matches(text, '$rx') AS parse_ok
+    regexp_matches(text, '$rx') AS parse_ok,
+    list_filter([
+      CASE WHEN NOT regexp_matches(text, '$rx') THEN '_grokparsefailure' END,
+      CASE WHEN tool IS NOT NULL AND tool != '' THEN 'tool:' || tool END
+    ], x -> x IS NOT NULL) AS tags
   FROM turns
 )"""
 
@@ -296,25 +300,40 @@ scored AS (
         .orderBy("conv_id", "turn_idx")
     },
 
-    Q("p14_cidr", sqlP(
-      """SELECT conv_id, turn_idx,
-        |  (ipn BETWEEN 167772160 AND 184549375) AS in_10_8,
-        |  (ipn BETWEEN 3405803520 AND 3405803775) AS in_testnet
-        |FROM (
-        |  SELECT conv_id, turn_idx,
-        |    CAST(split_part(src_ip, '.', 1) AS BIGINT) * 16777216
-        |    + CAST(split_part(src_ip, '.', 2) AS BIGINT) * 65536
-        |    + CAST(split_part(src_ip, '.', 3) AS BIGINT) * 256
-        |    + CAST(split_part(src_ip, '.', 4) AS BIGINT) AS ipn
-        |  FROM parsed WHERE parse_ok)
-        |ORDER BY conv_id, turn_idx""".stripMargin)) { (s, d) =>
-      val part = (i: Int) => element_at(split(col("src_ip"), "\\."), i).cast("long")
+    // P14: arbitrary-prefix CIDR membership, subnet strings compiled at plan
+    // time by graft.functions.Cidr (incl. a non-octet-aligned /15 and a
+    // multi-subnet OR list). The DuckDB side recomputes the ip number from
+    // octets and uses the compiled (lo, hi) literals.
+    Q("p14_cidr", {
+      val subs = Seq(
+        "in_10_8" -> Seq("10.0.0.0/8"),
+        "in_testnet" -> Seq("203.0.113.0/24"),
+        "in_10_2_15" -> Seq("10.2.0.0/15"),
+        "in_any" -> Seq("203.0.113.64/26", "10.3.0.0/16"))
+      val conds = subs.map { case (n, cs) =>
+        cs.map { c => val (lo, hi) = graft.functions.Cidr.range(c)
+          s"ipn BETWEEN $lo AND $hi" }.mkString("(", " OR ", s") AS $n")
+      }
+      sqlP(
+        s"""SELECT conv_id, turn_idx,
+           |  ${conds.mkString(",\n  ")}
+           |FROM (
+           |  SELECT conv_id, turn_idx,
+           |    CAST(split_part(src_ip, '.', 1) AS BIGINT) * 16777216
+           |    + CAST(split_part(src_ip, '.', 2) AS BIGINT) * 65536
+           |    + CAST(split_part(src_ip, '.', 3) AS BIGINT) * 256
+           |    + CAST(split_part(src_ip, '.', 4) AS BIGINT) AS ipn
+           |  FROM parsed WHERE parse_ok)
+           |ORDER BY conv_id, turn_idx""".stripMargin)
+    }) { (s, d) =>
+      import graft.functions.Cidr
       P(s, d).filter(col("parse_ok"))
-        .withColumn("ipn",
-          part(1) * 16777216L + part(2) * 65536L + part(3) * 256L + part(4))
         .select(col("conv_id"), col("turn_idx"),
-          col("ipn").between(167772160L, 184549375L).as("in_10_8"),
-          col("ipn").between(3405803520L, 3405803775L).as("in_testnet"))
+          Cidr.inSubnet(col("src_ip"), "10.0.0.0/8").as("in_10_8"),
+          Cidr.inSubnet(col("src_ip"), "203.0.113.0/24").as("in_testnet"),
+          Cidr.inSubnet(col("src_ip"), "10.2.0.0/15").as("in_10_2_15"),
+          Cidr.inAnySubnet(col("src_ip"),
+            Seq("203.0.113.64/26", "10.3.0.0/16")).as("in_any"))
         .orderBy("conv_id", "turn_idx")
     },
 
@@ -384,6 +403,28 @@ scored AS (
       Whitelist(P(s, d), TestdataTables.whitelist)
         .groupBy("action").agg(count(lit(1)).as("n"))
         .orderBy(asc_nulls_first("action"))
+    },
+
+    // C2b/C4c: ARRAY-valued field clauses — a clause on `tags` matches when
+    // ANY element matches (ClauseCompiler.ArrayFields, mirrored in RefModel)
+    Q("c2b_whitelist_array", sqlP(
+      """SELECT role, count(*) AS n FROM parsed
+        |WHERE NOT coalesce(len(list_filter(tags, x -> x = 'tool:bash')) > 0, false)
+        |GROUP BY role ORDER BY role""".stripMargin)) { (s, d) =>
+      Whitelist(P(s, d), Seq(WhitelistRule("tags", "eq", "tool:bash")))
+        .groupBy("role").agg(count(lit(1)).as("n"))
+        .orderBy("role")
+    },
+
+    Q("c4c_clause_array", sqlP(
+      """SELECT conv_id, turn_idx,
+        |  coalesce(len(list_filter(tags, x -> regexp_matches(x, '^tool:'))) > 0, false) AS has_tool,
+        |  coalesce(list_contains(tags, '_grokparsefailure'), false) AS unparsed
+        |FROM parsed ORDER BY conv_id, turn_idx""".stripMargin)) { (s, d) =>
+      P(s, d).select(col("conv_id"), col("turn_idx"),
+        coalesce(ClauseCompiler.predicate("tags", "rx", "^tool:"), lit(false)).as("has_tool"),
+        coalesce(ClauseCompiler.predicate("tags", "eq", "_grokparsefailure"), lit(false)).as("unparsed"))
+        .orderBy("conv_id", "turn_idx")
     },
 
     Q("c3_ioc", sqlFull(

@@ -18,7 +18,7 @@ object TestdataAdapter {
 
   /** Spark side. Line shape matches the fixture grok pattern. */
   def turns(spark: SparkSession, sfDir: String): DataFrame = {
-    val e = spark.read.parquet(s"$sfDir/events.parquet")
+    val e = graft.sources.Source.readTable(spark, graft.model.PipelineConf(), s"$sfDir/events.parquet")
     val id = col("event_id")
     val uid = col("user_id")
 

@@ -23,6 +23,13 @@ object SigRulesData {
 
   def apply(df: DataFrame, rulesDf: DataFrame, conf: PipelineConf): DataFrame = {
     val spark = df.sparkSession
+    // the probe map carries SCALAR fields only — an array-field rule (tags)
+    // would silently never match here; fail loud and point at the compiled
+    // tier (rulesDf is broadcast-small by contract, so this check is cheap)
+    require(rulesDf.filter(col("field")
+      .isin(ClauseCompiler.ArrayFields.toSeq: _*)).limit(1).count() == 0,
+      s"SigRulesData supports scalar fields only; use the compiled SigRules " +
+        s"tier for array-field rules (${ClauseCompiler.ArrayFields.mkString(",")})")
 
     // field-name → value map evaluated per row (status canonicalized as string)
     val fieldMap = map(
@@ -40,12 +47,24 @@ object SigRulesData {
 
     val r = broadcast(rulesDf)
     val v = element_at(col("_fm"), r("field"))
+    // status clauses compare NUMERICALLY with trimmed args — the compiled
+    // tier does arg.trim.toInt, so ' 503' / '0503' must behave identically
+    // in both tiers (tier-equivalence is the contract, SigRulesDataSpec)
+    // try_cast throughout: ANSI cast throws on malformed input, and codegen
+    // subexpression elimination hoists casts OUT of the conditional guards
+    val isStatus = r("field") === "status"
+    val eqOk = when(isStatus, v.try_cast("int") === trim(r("arg")).try_cast("int"))
+      .otherwise(v === r("arg"))
+    val inOk = when(isStatus,
+      array_contains(transform(split(r("arg"), ","),
+        x => trim(x).try_cast("int")), v.try_cast("int")))
+      .otherwise(array_contains(split(r("arg"), ","), v))
     val matches =
       (r("op") === "rx" && v.isNotNull && regexp_like(v, r("arg"))) ||
-        (r("op") === "eq" && v === r("arg")) ||
-        (r("op") === "in" && array_contains(split(r("arg"), ","), v)) ||
-        (r("op") === "lt" && v.cast("double") < r("arg").cast("double")) ||
-        (r("op") === "gt" && v.cast("double") > r("arg").cast("double")) ||
+        (r("op") === "eq" && eqOk) ||
+        (r("op") === "in" && inOk) ||
+        (r("op") === "lt" && v.try_cast("double") < trim(r("arg")).try_cast("double")) ||
+        (r("op") === "gt" && v.try_cast("double") > trim(r("arg")).try_cast("double")) ||
         (r("op") === "exists" && v.isNotNull && v =!= "")
 
     val probed = df.select(col("conv_id"), col("turn_idx"), fieldMap.as("_fm"),

@@ -15,20 +15,34 @@ import graft.model._
   * Semantics must stay identical to [[graft.oracle.RefModel.clauseMatches]].
   */
 object ClauseCompiler {
-  def predicate(field: String, op: String, arg: String): Column = {
-    val c = col(field)
+  /** Fields that are ARRAY-valued in the pipeline schema: a clause on them
+    * matches if ANY element matches (Logstash event fields can hold arrays —
+    * SURVEY §1.1; the sig filter iterates elements). The engine schema is
+    * fixed by contract, so a static registry suffices. */
+  val ArrayFields: Set[String] = Set("tags")
+
+  def predicate(field: String, op: String, arg: String): Column =
+    if (ArrayFields(field))
+      exists(col(field), v => scalarPredicate(v, field, op, arg))
+    else scalarPredicate(col(field), field, op, arg)
+
+  private def scalarPredicate(c: Column, field: String, op: String,
+      arg: String): Column =
     op match {
       case "rx" => c.isNotNull && c.cast("string").rlike(arg)
-      case "eq" => if (field == "status") c === arg.toInt else c === arg
+      // status args canonicalized with trim (rule files carry ' 503'-style
+      // padding); numeric compares use try_cast — ANSI cast would throw on
+      // non-numeric values, and codegen CSE can hoist the cast OUT of the
+      // short-circuit guard (RefModel's toDoubleOption ⇒ null ⇒ no match)
+      case "eq" => if (field == "status") c === arg.trim.toInt else c === arg
       case "in" =>
         if (field == "status") c.isin(arg.split(",").map(_.trim.toInt): _*)
         else c.isin(arg.split(","): _*)
-      case "lt" => c.cast("double") < arg.toDouble
-      case "gt" => c.cast("double") > arg.toDouble
+      case "lt" => c.try_cast("double") < arg.trim.toDouble
+      case "gt" => c.try_cast("double") > arg.trim.toDouble
       case "exists" => c.isNotNull && c.cast("string") =!= ""
       case other => throw new IllegalArgumentException(s"unknown op $other")
     }
-  }
 
   def hitStruct(ruleId: Int, name: String, score: Column): Column =
     struct(lit(ruleId).as("rule_id"), lit(name).as("name"),
@@ -63,7 +77,13 @@ object Parse {
         col("_g.status").cast("int").as("status"),
         col("_g.hashv").as("hashv"),
         col("_g.uri").as("uri"),
-        col("_g").isNotNull.as("parse_ok"))
+        col("_g").isNotNull.as("parse_ok"),
+        // Logstash-style tags array (array-valued field for clause checks):
+        // parse failures + tool markers
+        array_compact(array(
+          when(col("_g").isNull, "_grokparsefailure"),
+          when(nullif(col("tool"), lit("")).isNotNull,
+            concat(lit("tool:"), col("tool"))))).as("tags"))
   }
 }
 

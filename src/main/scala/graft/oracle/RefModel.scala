@@ -39,21 +39,29 @@ object RefModel {
       case other     => fields.get(other)
     }
 
-  /** Shared clause evaluator for C2 whitelist and C4 sig rules. */
+  /** Tags array of a row (mirror of Parse's tags column). */
+  private def tagsOf(t: Turn, parseOk: Boolean): Seq[String] =
+    (if (!parseOk) Seq("_grokparsefailure") else Seq.empty) ++
+      Option(t.tool).filter(_.nonEmpty).map("tool:" + _)
+
+  /** Shared clause evaluator for C2 whitelist and C4 sig rules. Array-valued
+    * fields (tags) match if ANY element matches — mirror of
+    * ClauseCompiler.ArrayFields semantics. */
   private[graft] def clauseMatches(t: Turn, fields: Map[String, String],
-      field: String, op: String, arg: String): Boolean = {
-    val v = fieldOf(t, fields, field)
-    op match {
-      case "rx" => v.exists(s => Pattern.compile(arg).matcher(s).find())
-      case "eq" => v.contains(arg)
-      case "in" => v.exists(s => arg.split(",").contains(s))
-      case "lt" =>
-        v.flatMap(s => s.toDoubleOption).exists(_ < arg.toDouble)
-      case "gt" =>
-        v.flatMap(s => s.toDoubleOption).exists(_ > arg.toDouble)
-      case "exists" => v.exists(_.nonEmpty)
+      parseOk: Boolean, field: String, op: String, arg: String): Boolean = {
+    val vs: Seq[String] =
+      if (field == "tags") tagsOf(t, parseOk)
+      else fieldOf(t, fields, field).toSeq
+    def one(s: String): Boolean = op match {
+      case "rx" => Pattern.compile(arg).matcher(s).find()
+      case "eq" => s == arg
+      case "in" => arg.split(",").contains(s)
+      case "lt" => s.toDoubleOption.exists(_ < arg.toDouble)
+      case "gt" => s.toDoubleOption.exists(_ > arg.toDouble)
+      case "exists" => s.nonEmpty
       case other => throw new IllegalArgumentException(s"op $other")
     }
+    vs.exists(one)
   }
 
   def apply(
@@ -102,7 +110,7 @@ object RefModel {
 
     // ---- C2 whitelist (first/stop rules): any match ⇒ drop from pipeline
     val afterWl = afterDedup.filterNot { p =>
-      whitelist.exists(w => clauseMatches(p.t, p.fields, w.field, w.op, w.arg))
+      whitelist.exists(w => clauseMatches(p.t, p.fields, p.ok, w.field, w.op, w.arg))
     }
 
     // ---- C3 IOC: kind → event field; lowercased equality
@@ -152,7 +160,7 @@ object RefModel {
         }
         // C4 sig
         for ((rid, clauses) <- ruleGroups) {
-          if (clauses.forall(c => clauseMatches(t, p.fields, c.field, c.op, c.arg)))
+          if (clauses.forall(c => clauseMatches(t, p.fields, p.ok, c.field, c.op, c.arg)))
             hits += Hit(rid, clauses.head.name, clauses.map(_.score).sum, "sig")
         }
         // C5 ref deviations

@@ -22,12 +22,8 @@ object PhaseProbe2 {
     spark.sparkContext.setLogLevel("WARN")
     import spark.implicits._
 
-    val turns = spark.read.parquet(s"$benchDir/transcripts")
-    val tables = RuleTables(
-      ioc = spark.read.parquet(s"$benchDir/ioc"),
-      sigRules = spark.read.parquet(s"$benchDir/sig_rules").as[graft.model.SigRule].collect().toSeq,
-      ref = spark.read.parquet(s"$benchDir/ref_baseline"),
-      whitelist = spark.read.parquet(s"$benchDir/whitelist").as[graft.model.WhitelistRule].collect().toSeq)
+    val turns = graft.sources.Source.readTable(spark, graft.model.PipelineConf(), s"$benchDir/transcripts")
+    val tables = graft.sources.Source.readRuleTables(spark, graft.model.PipelineConf(), benchDir)
     val conf = PipelineConf()
 
     def t(name: String)(df: => DataFrame): Unit = {

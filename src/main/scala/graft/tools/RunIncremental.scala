@@ -3,8 +3,9 @@ package graft.tools
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 
-import graft.{Incremental, RuleTables}
-import graft.model.{PipelineConf, SigRule, WhitelistRule}
+import graft.Incremental
+import graft.model.PipelineConf
+import graft.sources.Source
 
 /** spark-submit resumable entry:
   * `RunIncremental <fixtureDir> <stateDir> <outDir> [tsFrom tsTo]`
@@ -28,21 +29,18 @@ object RunIncremental {
     spark.sparkContext.setLogLevel("WARN")
     import spark.implicits._
 
-    val all = spark.read.parquet(s"$inDir/transcripts")
+    val conf = PipelineConf()
+    val all = Source.readTable(spark, conf, s"$inDir/transcripts")
     val turns = range match {
       case Some((a, b)) => all.filter(
         unix_timestamp(col("ts").cast("timestamp")) >= a &&
           unix_timestamp(col("ts").cast("timestamp")) < b)
       case None => all
     }
-    val tables = RuleTables(
-      ioc = spark.read.parquet(s"$inDir/ioc"),
-      sigRules = spark.read.parquet(s"$inDir/sig_rules").as[SigRule].collect().toSeq,
-      ref = spark.read.parquet(s"$inDir/ref_baseline"),
-      whitelist = spark.read.parquet(s"$inDir/whitelist").as[WhitelistRule].collect().toSeq)
+    val tables = Source.readRuleTables(spark, conf, inDir)
 
     val runId = f"${Incremental.completedRuns(stateDir).size + 1}%04d"
-    val r = Incremental.run(spark, turns, tables, PipelineConf(), stateDir, outDir, runId)
+    val r = Incremental.run(spark, turns, tables, conf, stateDir, outDir, runId)
     println(s"run=$runId files=${r.inputFiles.size}")
     r.metrics.toSeq.sortBy(_._1).foreach { case (k, v) => println(s"metric[$k] = $v") }
     spark.stop()

@@ -2,8 +2,9 @@ package graft.tools
 
 import org.apache.spark.sql.SparkSession
 
-import graft.{Pipeline, RuleTables}
-import graft.model.{PipelineConf, SigRule, WhitelistRule}
+import graft.Pipeline
+import graft.model.PipelineConf
+import graft.sources.Source
 
 /** spark-submit entry point: run the full parse→enrich→route→aggregate
   * pipeline over a transcripts table produced by [[GenFixtures]] (or any
@@ -29,13 +30,9 @@ object RunPipeline {
     spark.sparkContext.setLogLevel("WARN")
     import spark.implicits._
 
-    val turns = spark.read.parquet(s"$inDir/transcripts")
-    val tables = RuleTables(
-      ioc = spark.read.parquet(s"$inDir/ioc"),
-      sigRules = spark.read.parquet(s"$inDir/sig_rules").as[SigRule].collect().toSeq,
-      ref = spark.read.parquet(s"$inDir/ref_baseline"),
-      whitelist = spark.read.parquet(s"$inDir/whitelist").as[WhitelistRule].collect().toSeq)
     val conf = PipelineConf()
+    val turns = Source.readTable(spark, conf, s"$inDir/transcripts")
+    val tables = Source.readRuleTables(spark, conf, inDir)
 
     val (enriched, cleanup) = Pipeline.enrichPlanned(turns, tables, conf)
     try {

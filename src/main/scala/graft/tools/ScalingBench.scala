@@ -35,17 +35,12 @@ object ScalingBench {
   /** One full pipeline pass; returns (rows, routedRows, wallSec). */
   private def onePass(spark: SparkSession, benchDir: String): (Long, Long, Double) = {
     import spark.implicits._
-    val turns = spark.read.parquet(s"$benchDir/transcripts")
-    val tables = RuleTables(
-      ioc = spark.read.parquet(s"$benchDir/ioc"),
-      sigRules = spark.read.parquet(s"$benchDir/sig_rules").as[graft.model.SigRule]
-        .collect().toSeq,
-      ref = spark.read.parquet(s"$benchDir/ref_baseline"),
-      whitelist = spark.read.parquet(s"$benchDir/whitelist").as[graft.model.WhitelistRule]
-        .collect().toSeq)
+    val conf = PipelineConf()
+    val turns = graft.sources.Source.readTable(spark, conf, s"$benchDir/transcripts")
+    val tables = graft.sources.Source.readRuleTables(spark, conf, benchDir)
     val persist = sys.env.getOrElse("SPARK_GRAFT_PERSIST", "true").toBoolean
     val t0 = System.nanoTime()
-    val (enriched, cleanup) = Pipeline.enrichPlanned(turns, tables, PipelineConf(),
+    val (enriched, cleanup) = Pipeline.enrichPlanned(turns, tables, conf,
       persistIntermediates = persist)
     try {
       // ONE action: rollup aggregation drives the pass; row/routed counts ride

@@ -82,6 +82,25 @@ class PipelineOracleSpec extends SparkSuite {
     }
   }
 
+  test("array-valued clause (tags): whitelist + sig rule match RefModel element-wise") {
+    val fx0 = Gen.fixture(200)
+    // whitelist on the tags ARRAY (rx + eq), and a sig rule on tags: any
+    // element matching counts — ClauseCompiler.ArrayFields vs RefModel.tagsOf
+    val fx = fx0.copy(
+      whitelist = Seq(WhitelistRule("tags", "rx", "^tool:(mail|search)$")),
+      rules = fx0.rules :+ SigRule(99, "bash-tool", "tags", "eq", "tool:bash", 12))
+    val turns = spark.createDataset(fx.turns).toDF()
+    val enriched = Pipeline.enrich(turns, tables(fx), fx.conf)
+    val got = sparkRows(enriched)
+    val want = oracleRows(RefModel(fx.turns, fx.ioc, fx.rules, fx.ref, fx.whitelist, fx.conf))
+    assert(got.size === want.size, s"row counts: got ${got.size} want ${want.size}")
+    got.zip(want).foreach { case (g, w) => assert(g === w) }
+    // the rule must actually fire somewhere for this test to mean anything
+    assert(want.exists(_._9.contains("sig:bash-tool")))
+    assert(want.size < oracleRows(RefModel(fx.turns, fx.ioc, fx.rules, fx.ref,
+      Nil, fx.conf)).size, "whitelist must drop some rows")
+  }
+
   test("determinism: output invariant under input repartitioning") {
     val fx = Gen.fixture(80)
     val t1 = spark.createDataset(fx.turns).toDF()

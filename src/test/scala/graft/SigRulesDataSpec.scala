@@ -27,4 +27,33 @@ class SigRulesDataSpec extends SparkSuite {
     compiled.zip(dataTier).foreach { case (c, d) => assert(c === d) }
     assert(compiled.exists(_._3.nonEmpty), "fixture must produce sig hits")
   }
+
+  test("status clause normalization: padded / zero-prefixed args match in both tiers") {
+    import graft.model.SigRule
+    val fx = Gen.fixture(150)
+    val rules = Seq(
+      SigRule(1, "padded-eq", "status", "eq", " 503", 10),
+      SigRule(2, "zeroed-eq", "status", "eq", "0503", 10),
+      SigRule(3, "padded-in", "status", "in", "404, 503 ,0301", 10))
+    val parsed = Parse(spark.createDataset(fx.turns).toDF(), fx.conf).persist()
+    def hitsOf(df: org.apache.spark.sql.DataFrame): Seq[(String, Int, String)] =
+      df.selectExpr("conv_id", "turn_idx",
+        "array_join(transform(hits_sig, h -> concat(h.rule_id, ':', h.score)), ';') as hk")
+        .collect().map(r => (r.getString(0), r.getInt(1), r.getString(2)))
+        .sortBy(t => (t._1, t._2)).toSeq
+    val compiled = hitsOf(SigRules(parsed, rules))
+    val dataTier = hitsOf(SigRulesData(parsed, rules.toDF(), fx.conf))
+    parsed.unpersist()
+    assert(compiled === dataTier)
+    assert(compiled.exists(_._3.nonEmpty), "padded status rules must fire")
+  }
+
+  test("array-field rules are rejected loudly (compiled tier handles those)") {
+    import graft.model.SigRule
+    val fx = Gen.fixture(5)
+    val parsed = Parse(spark.createDataset(fx.turns).toDF(), fx.conf)
+    intercept[IllegalArgumentException] {
+      SigRulesData(parsed, Seq(SigRule(1, "t", "tags", "eq", "tool:bash", 5)).toDF(), fx.conf)
+    }
+  }
 }
