@@ -50,9 +50,8 @@ object Bench {
           graft.entry.TestdataTables.rules(spark), graft.entry.LogQueries.tconf)
         try {
           val counts = Pipeline.route(spark, enriched, graft.entry.LogQueries.tconf, outDir)
-          val n = enriched.count()
-          require(counts.values.sum > 0, "route produced no alerts")
-          (n, (System.nanoTime() - t0) / 1e9)
+          require((counts - "total").values.sum > 0, "route produced no alerts")
+          (counts("total"), (System.nanoTime() - t0) / 1e9)
         } finally cleanup()
       }
       once(); val (n, w) = once()

@@ -6,8 +6,9 @@ import org.apache.spark.sql.catalyst.expressions.Expression
 import graft.functions.{GrokCompiler, RegexStructExtract}
 
 /** SparkSessionExtensions hook: exposes the native grok expression to SQL as
-  * `grok_struct(text, '<grok pattern>')` — the pattern must be a literal; it
-  * is compiled to a single regex at plan time (SURVEY §2.2 P1).
+  * `grok_struct(text, '<pattern>'[, '<fallback>', …])` — patterns must be
+  * literals; the list compiles at plan time and is tried first-match-wins
+  * per row (SURVEY §2.2 P1, Logstash `match`-list semantics).
   *
   * Activate with `.config("spark.sql.extensions", "graft.GraftExtensions")`
   * or retro-fit an existing session via [[GraftExtensions.register]].

@@ -92,8 +92,13 @@ object Pipeline {
     * control their own lifecycle should use enrichPlanned + the thunk. */
   def enrichManaged(turns: DataFrame, tables: RuleTables,
       conf: PipelineConf, state: State = State.empty): DataFrame = {
+    // release BEFORE persisting: consecutive managed calls build identical
+    // plans, and persisting while the previous entry is still registered
+    // logs 'already cached' and the subsequent unpersist would evict the
+    // shared entry out from under the new plan
+    managedCleanup.getAndSet(() => ())()
     val (df, cleanup) = enrichPlanned(turns, tables, conf, state)
-    managedCleanup.getAndSet(cleanup)()
+    managedCleanup.set(cleanup)
     df
   }
 
@@ -154,7 +159,8 @@ object Pipeline {
 
   /** C9 fan-out: ONE pass over the enriched rows (persist), then K filtered
     * sink writes + alerts_all partitioned by severity (SURVEY §2.9 R2 — never
-    * K source re-reads). Returns per-sink counts from `observe` metrics. */
+    * K source re-reads). Returns per-sink counts from `observe` metrics,
+    * plus "total" = all enriched rows. */
   def route(spark: SparkSession, enriched: DataFrame, conf: PipelineConf,
       outDir: String): Map[String, Long] = {
     import org.apache.spark.sql.Observation
@@ -162,10 +168,13 @@ object Pipeline {
     try {
       val obs = Observation("sinks")
       val severities = conf.severityBands.map(_._2)
-      val aggs = severities.map(s =>
+      val aggs = count(lit(1)).as("n_total") +: severities.map(s =>
         sum(when(col("routed") && col("severity") === s, 1L).otherwise(0L)).as(s"n_$s"))
-      val observed = cached.observe(obs, aggs.head, aggs.tail: _*)
-      saltedBySeverity(alertDocs(observed.filter(col("routed"))), conf.saltBuckets)
+      // materialize the cache + deliver the observation with a PLAIN action
+      // first: a partitioned write whose routed subset is empty drops
+      // observed metrics entirely (Spark 4.1) and obs.get would hang
+      cached.observe(obs, aggs.head, aggs.tail: _*).count()
+      saltedBySeverity(alertDocs(cached.filter(col("routed"))), conf.saltBuckets)
         .write.mode("overwrite").partitionBy("severity")
         .parquet(s"$outDir/alerts_all")
       rollupBySignature(cached).write.mode("overwrite")
@@ -173,7 +182,8 @@ object Pipeline {
       rollupBySink(cached).write.mode("overwrite")
         .parquet(s"$outDir/rollup_sink")
       val m = obs.get
-      severities.map(s => s -> m(s"n_$s").asInstanceOf[Long]).toMap
+      severities.map(s => s -> m(s"n_$s").asInstanceOf[Long]).toMap +
+        ("total" -> m("n_total").asInstanceOf[Long])
     } finally cached.unpersist()
   }
 }

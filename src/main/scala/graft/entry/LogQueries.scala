@@ -350,6 +350,37 @@ scored AS (
         .groupBy("category").agg(count(lit(1)).as("n")).orderBy("category")
     },
 
+    // P15b: translate's dictionary-FILE mode (csv → broadcast join) and
+    // regex-key mode (first-match-wins when-chain), in one differential.
+    Q("p15b_translate_file_regex", sqlP(
+      """SELECT conv_id, turn_idx,
+        |  coalesce(d.value, 'other') AS category,
+        |  CASE WHEN action IS NOT NULL AND regexp_matches(action, '^ex') THEN 'attack'
+        |       WHEN action IS NOT NULL AND regexp_matches(action, 'up') THEN 'transfer'
+        |       WHEN action IS NOT NULL AND regexp_matches(action, 'e') THEN 'has-e'
+        |       ELSE 'none' END AS rx_cat
+        |FROM parsed
+        |LEFT JOIN (VALUES ('click','nav'), ('view','nav'), ('purchase','commerce'),
+        |                  ('signup','account'), ('error','fault')) d(key, value)
+        |  ON parsed.action = d.key
+        |ORDER BY conv_id, turn_idx""".stripMargin)) { (s, d) =>
+      // "file-loaded" dict: written + read back as a real csv file, the
+      // translate filter's dictionary_path analogue
+      val dictDir = new java.io.File(s"/tmp/graft-dict-${s.sparkContext.applicationId}")
+      if (!dictDir.isDirectory) {
+        dictDir.mkdirs()
+        java.nio.file.Files.writeString(dictDir.toPath.resolve("dict.csv"),
+          "key,value\nclick,nav\nview,nav\npurchase,commerce\nsignup,account\nerror,fault\n")
+      }
+      val dict = s.read.option("header", "true").csv(dictDir.toString)
+      val base = Translate.byTable(P(s, d), dict, col("action"), "category", "other")
+      Translate.byRegex(base,
+        Seq("^ex" -> "attack", "up" -> "transfer", "e" -> "has-e"),
+        col("action"), "rx_cat", "none")
+        .select("conv_id", "turn_idx", "category", "rx_cat")
+        .orderBy("conv_id", "turn_idx")
+    },
+
     Q("p16_geoip_range", sqlP(
       """SELECT 'r' || CAST((ipn // 16777216) % 10 AS VARCHAR) AS region, count(*) AS n
         |FROM (
@@ -532,6 +563,37 @@ scored AS (
       Pipeline.rollupBySink(
         Pipeline.enrichManaged(T(s, d), TestdataTables.rules(s), tconf))
         .orderBy("severity")
+    },
+
+    // C9b: the FIR alert-document projection over routed rows — category =
+    // hit kind with the max score mass (priority sig>ioc>ref>new>freq on
+    // ties), subject = compact human line. Differential on the full chain.
+    Q("c9b_alert_docs", sqlFull(
+      s"""SELECT s.conv_id, s.turn_idx, s.note, s.severity, cat AS category,
+         |  '[' || s.severity || '] ' || cat || ' conv=' || s.conv_id || '#'
+         |    || CAST(s.turn_idx AS VARCHAR) || ' note=' || CAST(s.note AS VARCHAR) AS subject
+         |FROM (
+         |  SELECT scored.*, f.sig_s, f.ioc_s, f.ref_s, f.new_s, f.freq_s,
+         |    CASE WHEN f.sig_s >= greatest(f.ioc_s, f.ref_s, f.new_s, f.freq_s) THEN 'sig'
+         |         WHEN f.ioc_s >= greatest(f.ref_s, f.new_s, f.freq_s) THEN 'ioc'
+         |         WHEN f.ref_s >= greatest(f.new_s, f.freq_s) THEN 'ref'
+         |         WHEN f.new_s >= f.freq_s THEN 'new' ELSE 'freq' END AS cat
+         |  FROM scored
+         |  JOIN (
+         |    SELECT conv_id, turn_idx, sig_score AS sig_s, ioc_score AS ioc_s,
+         |      ref_score AS ref_s,
+         |      (CASE WHEN new_user THEN ${tconf.newValueScore} ELSE 0 END
+         |       + CASE WHEN new_host THEN ${tconf.newValueScore} ELSE 0 END) AS new_s,
+         |      (CASE WHEN freq_hit THEN ${tconf.freqScore} ELSE 0 END) AS freq_s
+         |    FROM fr2) f
+         |  ON scored.conv_id = f.conv_id AND scored.turn_idx = f.turn_idx) s
+         |WHERE s.routed
+         |ORDER BY s.conv_id, s.turn_idx""".stripMargin)) { (s, d) =>
+      Pipeline.alertDocs(
+        Pipeline.enrichManaged(T(s, d), TestdataTables.rules(s), tconf)
+          .filter(col("routed")))
+        .select("conv_id", "turn_idx", "note", "severity", "category", "subject")
+        .orderBy("conv_id", "turn_idx")
     },
 
     // ---------- aggregations / windows / set ops ----------

@@ -43,16 +43,16 @@ object ScalingBench {
     val (enriched, cleanup) = Pipeline.enrichPlanned(turns, tables, conf,
       persistIntermediates = persist)
     try {
-      // ONE action: rollup aggregation drives the pass; row/routed counts ride
-      // along as observe() metrics (no second traversal)
-      val obs = org.apache.spark.sql.Observation()
-      val observed = enriched.observe(obs, count(lit(1)).as("n"),
-        sum(when(col("routed"), 1L).otherwise(0L)).as("r"))
-      val rollupN = Pipeline.rollupBySignature(observed).count()
+      // the FULL pipeline is in the timed pass: Pipeline.route writes the
+      // per-severity alert sinks + both rollups (the metric label
+      // 'parse→enrich→route→aggregate throughput' must mean what it says)
+      val outDir = java.nio.file.Files
+        .createTempDirectory("graft-scaling-route").toString
+      val counts = Pipeline.route(spark, enriched, conf, outDir)
       val wall = (System.nanoTime() - t0) / 1e9
-      require(rollupN > 0)
-      val m = obs.get
-      (m("n").asInstanceOf[Long], m("r").asInstanceOf[Long], wall)
+      val routed = (counts - "total").values.sum
+      require(routed > 0, "route produced no alerts")
+      (counts("total"), routed, wall)
     } finally cleanup()
   }
 

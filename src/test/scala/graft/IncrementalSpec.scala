@@ -77,11 +77,17 @@ class IncrementalSpec extends SparkSuite {
       .filter(col("routed"))
       .select("conv_id", "turn_idx", "note").collect()
       .map(r => (r.getString(0), r.getInt(1), r.getInt(2))).sortBy(t => (t._1, t._2)).toSeq
-    val appended = spark.read.parquet(s"$outDir/alerts_all")
+    val alerts = spark.read.parquet(s"$outDir/alerts_all")
+    val appended = alerts
       .select("conv_id", "turn_idx", "note").collect()
       .map(r => (r.getString(0), r.getInt(1), r.getInt(2))).sortBy(t => (t._1, t._2)).toSeq
     assert(appended === single)
     assert((r1.sinkCounts.values.sum + r2.sinkCounts.values.sum) === single.size.toLong)
+    // FIR alert-document shape (SURVEY §2.1 S4): subject/category present
+    val cols = alerts.columns.toSet
+    assert(Set("subject", "category", "severity", "note", "hits", "run_id")
+      .subsetOf(cols), s"alert doc missing columns: $cols")
+    assert(alerts.filter(col("subject").startsWith("[")).count() === alerts.count())
   }
 
   test("5-run chain: alerts equal single run; state snapshot bounded to trailing window") {

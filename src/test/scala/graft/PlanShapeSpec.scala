@@ -1,0 +1,54 @@
+package graft
+
+import graft.fixtures.Gen
+import graft.model._
+
+/** Plan-shape regression guard (round-1 perf work bought a specific physical
+  * shape — this pins it so later rounds can't silently regress it). Counts
+  * are taken over the UNPERSISTED plan (deterministic single tree; the
+  * production persist collapses the aux-branch duplication at runtime, but
+  * the node mix below is invariant to that):
+  *  - a pinned number of hash-shuffle Exchanges (SURVEY §3.2 shuffle budget,
+  *    times the fixed aux-branch print factor);
+  *  - zero CartesianProduct anywhere;
+  *  - every Window node is one of the two sanctioned forms — the C1 dedup
+  *    row_number over (fp, bucket) or the C7 trailing sum over
+  *    PRE-AGGREGATED per-second counts (partitioned by _k) — never a raw-row
+  *    window keyed by the hot frequency key alone;
+  *  - rule/IOC/ref lookups stay broadcast hash joins.
+  */
+class PlanShapeSpec extends SparkSuite {
+  import spark.implicits._
+
+  test("enrich plan: pinned shuffle budget, no cartesian, sanctioned windows only") {
+    val fx = Gen.fixture(60)
+    val tb = RuleTables(fx.ioc.toDF(), fx.rules, fx.ref.toDF(), fx.whitelist)
+    val enriched = Pipeline.enrichPlanned(
+      spark.createDataset(fx.turns).toDF(), tb, Gen.defaultConf,
+      persistIntermediates = false)._1
+    val plan = enriched.queryExecution.explainString(
+      org.apache.spark.sql.execution.SimpleMode)
+
+    def n(token: String): Int = token.r.findAllIn(plan).size
+
+    // pinned EXACTLY — if a change moves these, it must be a conscious
+    // decision that updates this test (and the SURVEY §3.2 budget note)
+    assert(n("Exchange hashpartitioning") === 18,
+      s"shuffle Exchange count drifted: ${n("Exchange hashpartitioning")}\n$plan")
+    assert(n("BroadcastExchange") === 9,
+      s"broadcast count drifted: ${n("BroadcastExchange")}")
+    assert(n("BroadcastHashJoin") === 9, "dim lookups must stay broadcast joins")
+    assert(n("SortMergeJoin") <= 1, "at most the one stateful join-back as SMJ")
+    assert(n("CartesianProduct") === 0, "cartesian product crept in")
+
+    // every Window node must be a sanctioned form
+    val windowLines = plan.linesIterator.filter(_.contains("Window [")).toSeq
+    assert(windowLines.nonEmpty)
+    windowLines.foreach { l =>
+      val dedupForm = l.contains("row_number()") && l.contains("fp#") &&
+        l.contains("fp_bucket#")
+      val freqForm = l.contains("windowspecdefinition(_k#")
+      assert(dedupForm || freqForm, s"unsanctioned window: ${l.trim}")
+    }
+  }
+}
