@@ -54,7 +54,7 @@ object SparkEntryPlans {
   def extra(spark: SparkSession, sfDir: String): Seq[(String, org.apache.spark.sql.DataFrame)] = {
     val byName = graft.SparkEntry.registry.map(q => q.name -> q).toMap
     Seq("c3_ioc", "c6_first_seen", "c7_frequency", "dd_minhash_lsh",
-      "ann_topk_bruteforce", "q3_join_multi")
+      "dd_ngram_jaccard", "c9b_alert_docs", "ann_topk_bruteforce", "q3_join_multi")
       .flatMap(n => byName.get(n).map(q => n -> q.fn(spark, sfDir)))
   }
 }
