@@ -83,6 +83,27 @@ object Incremental {
       firedBuckets = loadLatest(spark, stateDir, "fired")
         .map(_.select("key", "reset_bucket")))
 
+  /** Drop the STATE TABLES of runs older than the latest `keep` completed
+    * runs. Snapshots are full, so only the latest run's state is ever read;
+    * older run dirs exist solely for audit/rollback, and at one snapshot per
+    * run the disk footprint would otherwise grow O(runs × state). Manifests
+    * and `input_files` lineage are KEPT (audit trail). Returns the runs
+    * whose state was dropped. */
+  def gc(stateDir: String, keep: Int = 1): Seq[String] = {
+    require(keep >= 1, "must keep at least the latest snapshot")
+    val victims = completedRuns(stateDir).dropRight(keep)
+    def rm(f: java.io.File): Unit = {
+      val kids = f.listFiles(); if (kids != null) kids.foreach(rm)
+      f.delete(); ()
+    }
+    victims.foreach { r =>
+      Seq("seen_values", "fp_seen", "freq_counts", "fired").foreach { t =>
+        rm(Paths.get(stateDir, s"run-$r", t).toFile)
+      }
+    }
+    victims
+  }
+
   /** Run one batch with state, write sinks + state snapshot + manifest. */
   def run(spark: SparkSession, turns: DataFrame, tables: RuleTables,
       conf: PipelineConf, stateDir: String, outDir: String,

@@ -235,6 +235,41 @@ object DataPipeQueries {
         .select("i", "j").orderBy("i", "j")
     },
 
+    // ---- embedding near-dup, SCALE path: sign-bit LSH bucketing (8 fixed
+    // dims) restricts candidate pairs to one bucket — the bucketed twin of
+    // the all-pairs dd_embed_cosine verification path above.
+    Q("dd_embed_lsh",
+      """WITH bk AS (
+        |  SELECT vec_id, embedding,
+        |    (CASE WHEN embedding[1] >= 0 THEN '1' ELSE '0' END)
+        |    || (CASE WHEN embedding[9] >= 0 THEN '1' ELSE '0' END)
+        |    || (CASE WHEN embedding[17] >= 0 THEN '1' ELSE '0' END)
+        |    || (CASE WHEN embedding[25] >= 0 THEN '1' ELSE '0' END)
+        |    || (CASE WHEN embedding[33] >= 0 THEN '1' ELSE '0' END)
+        |    || (CASE WHEN embedding[41] >= 0 THEN '1' ELSE '0' END)
+        |    || (CASE WHEN embedding[49] >= 0 THEN '1' ELSE '0' END)
+        |    || (CASE WHEN embedding[57] >= 0 THEN '1' ELSE '0' END) AS bucket
+        |  FROM embeddings)
+        |SELECT a.vec_id AS i, b.vec_id AS j
+        |FROM bk a JOIN bk b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+        |WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.3
+        |ORDER BY i, j""".stripMargin) { (s, d) =>
+      import graft.functions.ArrayDot
+      val dims = Seq(1, 9, 17, 25, 33, 41, 49, 57)
+      val bucket = concat(dims.map(i =>
+        when(element_at(col("embedding"), i) >= 0, "1").otherwise("0")): _*)
+      val e = embs(s, d).select(col("vec_id"), col("embedding").as("v"),
+        bucket.as("bucket"))
+        .withColumn("nrm", sqrt(ArrayDot.dot(col("v"), col("v"))))
+      val a = e.select(col("vec_id").as("i"), col("v").as("va"),
+        col("nrm").as("na"), col("bucket"))
+      val b = e.select(col("vec_id").as("j"), col("v").as("vb"),
+        col("nrm").as("nb"), col("bucket").as("bucket2"))
+      a.join(b, col("bucket") === col("bucket2") && col("i") < col("j"))
+        .filter(ArrayDot.dot(col("va"), col("vb")) / (col("na") * col("nb")) >= 0.3)
+        .select("i", "j").orderBy("i", "j")
+    },
+
     // ---- brute-force ANN: top-10 cosine neighbors for query vecs 0..4;
     // rank on round(cos, 6) desc then id — deterministic across engines.
     Q("ann_topk_bruteforce",
@@ -339,20 +374,33 @@ object DataPipeQueries {
         pred.as("pred_lang")): _*).orderBy("doc_id")
     },
 
-    // ---- quality scoring: integer basis-point ratios (engine-exact).
-    Q("ta_quality",
-      """SELECT doc_id,
-        |  CAST(len(str_split(text, ' ')) AS INT) AS nw,
-        |  CAST(len(list_distinct(str_split(text, ' '))) AS INT) AS nd,
-        |  CAST((len(list_distinct(str_split(text, ' '))) * 10000) // len(str_split(text, ' ')) AS INT) AS uniq_bp,
-        |  CAST((length(replace(text, ' ', '')) * 10000) // length(text) AS INT) AS density_bp
-        |FROM documents ORDER BY doc_id""".stripMargin) { (s, d) =>
+    // ---- quality scoring: integer basis-point ratios (engine-exact) —
+    // length, distinct-word, non-space density, punctuation and stopword
+    // ratios (the usual web-corpus quality heuristics).
+    Q("ta_quality", {
+      val stops = langDicts.head._2 // "en" stopwords
+      val stopsSql = stops.map(w => s"'$w'").mkString(",")
+      s"""SELECT doc_id,
+         |  CAST(len(str_split(text, ' ')) AS INT) AS nw,
+         |  CAST(len(list_distinct(str_split(text, ' '))) AS INT) AS nd,
+         |  CAST((len(list_distinct(str_split(text, ' '))) * 10000) // len(str_split(text, ' ')) AS INT) AS uniq_bp,
+         |  CAST((length(replace(text, ' ', '')) * 10000) // length(text) AS INT) AS density_bp,
+         |  CAST(((length(text) - length(regexp_replace(text, '[^a-zA-Z0-9 ]', '', 'g'))) * 10000) // length(text) AS INT) AS punct_bp,
+         |  CAST((len(list_filter(str_split(text, ' '), x -> x IN ($stopsSql))) * 10000) // len(str_split(text, ' ')) AS INT) AS stop_bp
+         |FROM documents ORDER BY doc_id""".stripMargin
+    }) { (s, d) =>
+      val stops = langDicts.head._2
       docs(s, d).select(col("doc_id"),
         size(wordsCol).as("nw"),
         size(array_distinct(wordsCol)).as("nd"),
         floor(size(array_distinct(wordsCol)) * 10000 / size(wordsCol)).cast("int").as("uniq_bp"),
         floor(length(regexp_replace(col("text"), " ", "")) * 10000 / length(col("text")))
-          .cast("int").as("density_bp"))
+          .cast("int").as("density_bp"),
+        floor((length(col("text")) -
+          length(regexp_replace(col("text"), "[^a-zA-Z0-9 ]", ""))) * 10000
+          / length(col("text"))).cast("int").as("punct_bp"),
+        floor(size(filter(wordsCol, x => x.isin(stops.map(_.asInstanceOf[Any]): _*)))
+          * 10000 / size(wordsCol)).cast("int").as("stop_bp"))
         .orderBy("doc_id")
     },
 

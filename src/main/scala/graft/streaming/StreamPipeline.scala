@@ -70,6 +70,61 @@ object StreamPipeline {
         })
   }
 
+  final case class FreqFire(key: String, sec: Long)
+
+  /** Per-key frequency state: per-second counts within the trailing window
+    * of the max seen second, plus fired reset-buckets ≥ the live bucket —
+    * the in-memory mirror of Incremental's pruned freq_counts/fired
+    * snapshot, so state is bounded by the window, not by history. */
+  final case class FreqState(counts: Map[Long, Long], fired: Seq[Long])
+
+  /** C7 streaming, EXACT batch parity: trailing-window per-second counts +
+    * per-reset-bucket re-fire suppression via flatMapGroupsWithState —
+    * emits one (key, sec) per first second whose trailing count reaches the
+    * threshold per reset bucket, exactly the batch [[graft.operators
+    * .Frequency]] fire set. Rows are processed in event-time order within
+    * each micro-batch; exactness across batches needs ascending event-time
+    * batches (the same contract as graft.Incremental). The tumbling
+    * [[freqAlerts]] stays as the watermark-native approximation. */
+  def freqTrailingStream(parsed: DataFrame, conf: PipelineConf): Dataset[FreqFire] = {
+    val spark = parsed.sparkSession
+    import spark.implicits._
+    val w = conf.freqWindowSec
+    val reset = conf.freqResetSec
+    val th = conf.freqThreshold
+    parsed.select(col(conf.freqKey).cast("string").as("key"),
+      col("ts_sec").as("sec")).as[(String, Long)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
+        (key: String, it: Iterator[(String, Long)], state: GroupState[FreqState]) => {
+          val prev = state.getOption.getOrElse(FreqState(Map.empty, Seq.empty))
+          var counts = prev.counts
+          val fired = scala.collection.mutable.Set[Long](prev.fired: _*)
+          val out = scala.collection.mutable.ArrayBuffer.empty[FreqFire]
+          val secs = it.map(_._2).toArray
+          java.util.Arrays.sort(secs)
+          var i = 0
+          while (i < secs.length) {
+            val s = secs(i)
+            counts = counts.updated(s, counts.getOrElse(s, 0L) + 1L)
+            val bucket = Math.floorDiv(s, reset)
+            if (!fired.contains(bucket)) {
+              val cnt = counts.iterator
+                .collect { case (s2, c) if s2 >= s - w && s2 <= s => c }.sum
+              if (cnt >= th) { fired += bucket; out += FreqFire(key, s) }
+            }
+            i += 1
+          }
+          if (secs.nonEmpty) {
+            val maxSec = secs(secs.length - 1)
+            state.update(FreqState(
+              counts.filter { case (s2, _) => s2 >= maxSec - w },
+              fired.toSeq.filter(_ >= Math.floorDiv(maxSec, reset)).sorted))
+          }
+          out.iterator
+        })
+  }
+
   /** C7 streaming: tumbling-window per-key counts ≥ threshold. */
   def freqAlerts(parsed: DataFrame, conf: PipelineConf,
       watermarkDelay: String = "10 minutes"): DataFrame =

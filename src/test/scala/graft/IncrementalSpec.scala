@@ -119,6 +119,16 @@ class IncrementalSpec extends SparkSuite {
       .map(r => (r.getString(0), r.getInt(1), r.getInt(2))).sortBy(t => (t._1, t._2)).toSeq
     assert(appended === single)
 
+    // gc drops older snapshots' state without touching what readers use:
+    // manifests + lineage stay, loadFullState (latest run) is unaffected
+    val victims = Incremental.gc(stateDir)
+    assert(victims === Seq("0001", "0002", "0003", "0004"))
+    assert(Incremental.completedRuns(stateDir).size === 5)
+    assert(!java.nio.file.Files.isDirectory(
+      java.nio.file.Paths.get(s"$stateDir/run-0001/seen_values")))
+    assert(java.nio.file.Files.isDirectory(
+      java.nio.file.Paths.get(s"$stateDir/run-0001/input_files")))
+
     // (b) state is a bounded snapshot, not O(history): freq secs span at most
     // one trailing window, fp/fired keep only the live bucket
     val st = Incremental.loadFullState(spark, stateDir)

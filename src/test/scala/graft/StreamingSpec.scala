@@ -97,6 +97,22 @@ class StreamingSpec extends SparkSuite {
     assert(got.nonEmpty)
   }
 
+  test("streaming trailing-window frequency (FMGWS) == batch Frequency fire set exactly") {
+    val parsed = StreamPipelineTestAccess.parsedStream(streamTurns, fx.conf)
+    val got = runToMemory(
+      StreamPipeline.freqTrailingStream(parsed, fx.conf).toDF(), "ftw")
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+      .sorted.toSeq
+
+    val bp = Parse(spark.createDataset(fx.turns).toDF(), fx.conf)
+    val want = Frequency(bp, fx.conf).filter(col("freq_hit"))
+      .select(col(fx.conf.freqKey), col("ts_sec")).collect()
+      .map(r => (r.getString(0), r.getLong(1))).sorted.toSeq
+
+    assert(got === want)
+    assert(got.nonEmpty, "fixture must contain bursts")
+  }
+
   test("streaming tumbling freq alerts == batch tumbling counts") {
     val parsed = StreamPipelineTestAccess.parsedStream(streamTurns, fx.conf)
     // Complete mode: Append would hold back windows newer than the final
