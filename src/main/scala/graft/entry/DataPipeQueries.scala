@@ -339,6 +339,66 @@ object DataPipeQueries {
         .select("qid", "rank", "nid").orderBy("qid", "rank")
     },
 
+    // ---- IVF ANN (scale path #2): coarse quantizer = 16 deterministic
+    // centroids (vec_id < 16 — the cross-engine stand-in for a k-means
+    // codebook); every vector joins its argmax-cosine posting list; queries
+    // probe their nprobe=2 nearest lists and rank candidates by cosine.
+    // At 100 TB the posting lists are the partition keys: assignment is a
+    // broadcast join (codebook is tiny), search touches only nprobe lists.
+    Q("ann_ivf_topk",
+      """WITH c AS (SELECT vec_id AS cid, embedding AS cv FROM embeddings WHERE vec_id < 16),
+        |asg AS (
+        |  SELECT vec_id, cid FROM (
+        |    SELECT e.vec_id, c.cid,
+        |      row_number() OVER (PARTITION BY e.vec_id
+        |        ORDER BY round(list_cosine_similarity(e.embedding, c.cv), 6) DESC, c.cid) AS rk
+        |    FROM embeddings e, c) WHERE rk = 1),
+        |probes AS (
+        |  SELECT vec_id AS qid, cid FROM (
+        |    SELECT e.vec_id, c.cid,
+        |      row_number() OVER (PARTITION BY e.vec_id
+        |        ORDER BY round(list_cosine_similarity(e.embedding, c.cv), 6) DESC, c.cid) AS rk
+        |    FROM embeddings e, c WHERE e.vec_id < 10) WHERE rk <= 2),
+        |cand AS (
+        |  SELECT DISTINCT p.qid, a.vec_id AS nid
+        |  FROM probes p JOIN asg a ON p.cid = a.cid AND a.vec_id != p.qid),
+        |sc AS (
+        |  SELECT cand.qid, cand.nid,
+        |    round(list_cosine_similarity(q.embedding, n.embedding), 6) AS cs
+        |  FROM cand
+        |  JOIN embeddings q ON q.vec_id = cand.qid
+        |  JOIN embeddings n ON n.vec_id = cand.nid),
+        |rk AS (SELECT qid, nid,
+        |    row_number() OVER (PARTITION BY qid ORDER BY cs DESC, nid) AS rank FROM sc)
+        |SELECT qid, rank, nid FROM rk WHERE rank <= 3 ORDER BY qid, rank""".stripMargin) { (s, d) =>
+      import graft.functions.ArrayDot
+      val e = embs(s, d).select(col("vec_id"), col("embedding").as("v"))
+        .withColumn("nrm", sqrt(ArrayDot.dot(col("v"), col("v"))))
+      val cents = e.filter(col("vec_id") < 16)
+        .select(col("vec_id").as("cid"), col("v").as("cv"), col("nrm").as("cn"))
+      def nearest(src: org.apache.spark.sql.DataFrame, n: Int) = src
+        .crossJoin(broadcast(cents))
+        .withColumn("cs", round(ArrayDot.dot(col("v"), col("cv"))
+          / (col("nrm") * col("cn")), 6))
+        .withColumn("rk", row_number().over(
+          Window.partitionBy("vec_id").orderBy(desc("cs"), asc("cid"))))
+        .filter(col("rk") <= n)
+      val asg = nearest(e, 1).select(col("vec_id").as("nid"), col("cid"),
+        col("v").as("nv"), col("nrm").as("nn"))
+      val probes = nearest(e.filter(col("vec_id") < 10), 2)
+        .select(col("vec_id").as("qid"), col("cid"),
+          col("v").as("qv"), col("nrm").as("qn"))
+      probes.join(asg, Seq("cid")).filter(col("nid") =!= col("qid"))
+        .select(col("qid"), col("nid"), col("qv"), col("qn"), col("nv"), col("nn"))
+        .distinct()
+        .withColumn("cs", round(ArrayDot.dot(col("qv"), col("nv"))
+          / (col("qn") * col("nn")), 6))
+        .withColumn("rank", row_number().over(
+          Window.partitionBy("qid").orderBy(desc("cs"), asc("nid"))))
+        .filter(col("rank") <= 3)
+        .select("qid", "rank", "nid").orderBy("qid", "rank")
+    },
+
     // ---- language-ID: stopword-hit scores per language, argmax.
     Q("ta_langid", {
       val scores = langDicts.map { case (l, ws) =>

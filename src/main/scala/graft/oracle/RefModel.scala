@@ -39,6 +39,22 @@ object RefModel {
       case other     => fields.get(other)
     }
 
+  /** Parse one turn against the conf's pattern list, first match wins —
+    * (extracted string fields, parse_ok). Exposed for the Spark-vs-oracle
+    * clause-equivalence fuzz (ClauseEquivalenceSpec). */
+  def parseFields(t: Turn, conf: PipelineConf): (Map[String, String], Boolean) = {
+    val groks = (conf.grokPattern +: conf.grokFallbacks)
+      .map(p => GrokCompiler.compile(p))
+    val hit = groks.iterator.map { g =>
+      val m = Pattern.compile(g.regex).matcher(t.text)
+      if (m.find()) Some(g.fields.zipWithIndex.flatMap { case (f, i) =>
+        Option(m.group(i + 1)).map(f -> _)
+      }.toMap)
+      else None
+    }.collectFirst { case Some(fs) => fs }
+    (hit.getOrElse(Map.empty), hit.isDefined)
+  }
+
   /** Tags array of a row (mirror of Parse's tags column). */
   private def tagsOf(t: Turn, parseOk: Boolean): Seq[String] =
     (if (!parseOk) Seq("_grokparsefailure") else Seq.empty) ++
@@ -52,12 +68,18 @@ object RefModel {
     val vs: Seq[String] =
       if (field == "tags") tagsOf(t, parseOk)
       else fieldOf(t, fields, field).toSeq
+    // status clauses compare NUMERICALLY with trimmed args — the mirror of
+    // ClauseCompiler's canonicalization (' 503' / '0503' must match 503)
     def one(s: String): Boolean = op match {
       case "rx" => Pattern.compile(arg).matcher(s).find()
-      case "eq" => s == arg
-      case "in" => arg.split(",").contains(s)
-      case "lt" => s.toDoubleOption.exists(_ < arg.toDouble)
-      case "gt" => s.toDoubleOption.exists(_ > arg.toDouble)
+      case "eq" =>
+        if (field == "status") s.toIntOption.contains(arg.trim.toInt) else s == arg
+      case "in" =>
+        if (field == "status")
+          arg.split(",").map(_.trim.toInt).exists(x => s.toIntOption.contains(x))
+        else arg.split(",").contains(s)
+      case "lt" => s.toDoubleOption.exists(_ < arg.trim.toDouble)
+      case "gt" => s.toDoubleOption.exists(_ > arg.trim.toDouble)
       case "exists" => s.nonEmpty
       case other => throw new IllegalArgumentException(s"op $other")
     }
