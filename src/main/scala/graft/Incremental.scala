@@ -104,6 +104,27 @@ object Incremental {
     victims
   }
 
+  /** Crash-consistent alert reader: only runs with a landed manifest are
+    * visible. A run that crashed after its sink write but before its
+    * manifest leaves orphan run_id partitions — replays REPLACE them
+    * (dynamic partition overwrite), but if the run is never replayed the
+    * orphans must not surface to readers. Partition-type inference is
+    * disabled for the read so run_id stays the string the writer used. */
+  def readAlerts(spark: SparkSession, stateDir: String, outDir: String): DataFrame = {
+    val key = "spark.sql.sources.partitionColumnTypeInference.enabled"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key, "false")
+    try {
+      val runs = completedRuns(stateDir)
+      spark.read.parquet(s"$outDir/alerts_all")
+        .where(org.apache.spark.sql.functions.col("run_id")
+          .isin(runs.map(_.asInstanceOf[Any]): _*))
+    } finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
+  }
+
   /** Run one batch with state, write sinks + state snapshot + manifest. */
   def run(spark: SparkSession, turns: DataFrame, tables: RuleTables,
       conf: PipelineConf, stateDir: String, outDir: String,

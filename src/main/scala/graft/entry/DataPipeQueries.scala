@@ -497,6 +497,21 @@ object DataPipeQueries {
     // stub decode (real decode libs absent in-sandbox; schema/partitioning
     // and the typed decode seam are the real artifact — see
     // graft.operators.Multimodal).
+    // video-style frame sampling through the same seam: payload → every 5th
+    // frame of a deterministic frame count, with a phash stand-in.
+    Q("mm_frame_sample",
+      s"""SELECT doc_id, CAST(i AS INT) AS frame_idx,
+         |  CAST(${h4Sql("(text || '#f' || CAST(i AS VARCHAR))")} AS BIGINT) AS phash
+         |FROM (SELECT doc_id, text,
+         |        unnest(range(1 + ${h4Sql("text")} % 48)) AS i
+         |      FROM documents)
+         |WHERE i % 5 = 0 ORDER BY doc_id, frame_idx""".stripMargin) { (s, d) =>
+      graft.operators.Multimodal.frameSampleStub(
+        docs(s, d).select(col("doc_id"), unhex(md5(col("text"))).as("payload"),
+          col("text")))
+        .orderBy("doc_id", "frame_idx")
+    },
+
     Q("mm_decode_stub",
       s"""SELECT doc_id, CAST(octet_length(from_hex(md5(text))) AS INT) AS n_bytes,
          |  CAST(1 + ${h4Sql("text")} % 1920 AS INT) AS width,

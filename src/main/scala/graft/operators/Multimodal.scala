@@ -30,6 +30,30 @@ object Multimodal {
         1 + h4(m.text + "#h") % 1080)
   }
 
+  final case class Frame(doc_id: Long, frame_idx: Int, phash: Long)
+
+  /** Video-style frame sampling through the same per-partition seam:
+    * payload → every `stride`-th frame with a perceptual-hash stand-in.
+    * The stub derives a deterministic frame count / hash from the source
+    * text (real codec absent in-sandbox); the Spark-side shape — binary in,
+    * EXPLODED typed frames out, one decoder init per partition — is the
+    * real artifact. */
+  def frameSampleStub(df: DataFrame, stride: Int = 5): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    def h4(s: String): Int =
+      Integer.parseInt(graft.fixtures.Gen.md5(s).substring(0, 4), 16)
+    df.select(col("doc_id").cast("long").as("doc_id"), col("payload"), col("text"))
+      .as[MediaIn]
+      .mapPartitions { it =>
+        it.flatMap { m =>
+          val n = 1 + h4(m.text) % 48
+          (0 until n by stride).iterator.map(i =>
+            Frame(m.doc_id, i, h4(m.text + "#f" + i).toLong))
+        }
+      }.toDF()
+  }
+
   /** (doc_id, payload: binary, text) → (doc_id, n_bytes, width, height).
     * mapPartitions so a real decoder can amortize per-batch init (model
     * load, codec context) once per partition — the Scala analogue of a

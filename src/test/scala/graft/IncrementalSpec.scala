@@ -88,6 +88,16 @@ class IncrementalSpec extends SparkSuite {
     assert(Set("subject", "category", "severity", "note", "hits", "run_id")
       .subsetOf(cols), s"alert doc missing columns: $cols")
     assert(alerts.filter(col("subject").startsWith("[")).count() === alerts.count())
+
+    // crash-consistent reads: alerts of a run WITHOUT a manifest (crashed
+    // before completion, never replayed) are invisible via readAlerts
+    val n = Incremental.readAlerts(spark, stateDir, outDir).count()
+    assert(n === alerts.count())
+    alerts.limit(5).withColumn("run_id", lit("dead"))
+      .write.mode("append").partitionBy("run_id", "severity")
+      .parquet(s"$outDir/alerts_all")
+    assert(spark.read.parquet(s"$outDir/alerts_all").count() === n + 5)
+    assert(Incremental.readAlerts(spark, stateDir, outDir).count() === n)
   }
 
   test("5-run chain: alerts equal single run; state snapshot bounded to trailing window") {
