@@ -79,31 +79,41 @@ object Pipeline {
     (Scoring(stateful, conf), () => handles.foreach(_.unpersist()))
   }
 
-  // latest managed enrich's cache-release thunk (see enrichManaged)
-  private val managedCleanup =
-    new java.util.concurrent.atomic.AtomicReference[() => Unit](() => ())
+  // latest managed enrich: (identity key, result, cache-release thunk)
+  private val managedRef =
+    new java.util.concurrent.atomic.AtomicReference[Option[(Any, DataFrame, () => Unit)]](None)
 
   /** enrichPlanned for fire-and-forget callers (the driver-harness queries,
     * SparkEntry.entry): the returned DataFrame still benefits from the diamond
-    * persist, and the PREVIOUS managed call's cache is released first — the
-    * harness runs queries sequentially, so at most one managed plan's caches
-    * are ever live (no unbounded persist leak, no
-    * "Asked to cache already cached data" re-persist warnings). Callers that
-    * control their own lifecycle should use enrichPlanned + the thunk. */
+    * persist, at most ONE managed plan's caches are ever live (the harness
+    * runs queries sequentially — no unbounded persist leak), and consecutive
+    * calls with the SAME inputs return the SAME DataFrame so its cached
+    * stages are shared instead of re-materialized (c8/c9/c9b run one chain,
+    * not three). Callers that control their own lifecycle should use
+    * enrichPlanned + the thunk. */
   def enrichManaged(turns: DataFrame, tables: RuleTables,
       conf: PipelineConf, state: State = State.empty): DataFrame = {
-    // release BEFORE persisting: consecutive managed calls build identical
-    // plans, and persisting while the previous entry is still registered
-    // logs 'already cached' and the subsequent unpersist would evict the
-    // shared entry out from under the new plan
-    managedCleanup.getAndSet(() => ())()
-    val (df, cleanup) = enrichPlanned(turns, tables, conf, state)
-    managedCleanup.set(cleanup)
-    df
+    val key = (turns.queryExecution.logical.canonicalized, conf,
+      tables.sigRules, tables.whitelist,
+      tables.ioc.queryExecution.logical.canonicalized,
+      tables.ref.queryExecution.logical.canonicalized,
+      state == State.empty)
+    managedRef.get() match {
+      case Some((k, df, _)) if k == key && state == State.empty => df
+      case prev =>
+        // release BEFORE persisting: persisting while the previous identical
+        // plan is still registered logs 'already cached' and the later
+        // unpersist would evict the shared entry from under the new plan
+        prev.foreach(_._3())
+        val (df, cleanup) = enrichPlanned(turns, tables, conf, state)
+        managedRef.set(Some((key, df, cleanup)))
+        df
+    }
   }
 
   /** Release the caches of the last enrichManaged plan (idempotent). */
-  def releaseManaged(): Unit = managedCleanup.getAndSet(() => ())()
+  def releaseManaged(): Unit =
+    managedRef.getAndSet(None).foreach(_._3())
 
   /** FIR alert-document projection (SURVEY §2.1 S4): the reference's output
     * plugin posts an incident document — subject, category, severity — not a
