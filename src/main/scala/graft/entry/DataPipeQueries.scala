@@ -17,18 +17,7 @@ import org.apache.spark.sql.functions._
   * scale paths (candidates only within shared buckets). */
 object DataPipeQueries {
 
-  /** Latest-only persist registry for harness queries that fan one expensive
-    * subtree (e.g. the shingle arrays) into several joins: `cycle(df)`
-    * releases the PREVIOUS query's cache and persists df for this one — the
-    * harness runs queries sequentially, so at most one query's cache is ever
-    * live (same pattern as Pipeline.enrichManaged). */
-  private val cacheHandle =
-    new java.util.concurrent.atomic.AtomicReference[Option[DataFrame]](None)
-  private def cycle(df: DataFrame): DataFrame = {
-    val cached = df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    cacheHandle.getAndSet(Some(cached)).foreach(_.unpersist())
-    cached
-  }
+  private def cycle(df: DataFrame): DataFrame = QueryCache.cycle(df)
 
   private def docs(s: SparkSession, d: String): DataFrame =
     s.read.parquet(s"$d/documents.parquet")

@@ -603,7 +603,10 @@ scored AS (
            |  CAST(count(*) * ${cl.map(_.score).sum} AS BIGINT) AS score_sum
            |FROM parsed WHERE ${rulePredSql(cl)} HAVING count(*) > 0""".stripMargin
       }.mkString("SELECT * FROM (\n", "\nUNION ALL\n", "\n) ORDER BY rule_id"))) { (s, d) =>
-      SigRules(P(s, d), TestdataTables.sigRules)
+      // persist the parsed projection: Catalyst alias substitution would
+      // otherwise duplicate the adapter's synthesized-text expression (md5
+      // concat chain) into every rule-clause reference (22 copies measured)
+      SigRules(QueryCache.cycle(P(s, d)), TestdataTables.sigRules)
         .select(explode(col("hits_sig")).as("h"))
         .groupBy(col("h.rule_id").as("rule_id"), col("h.name").as("name"))
         .agg(count(lit(1)).as("n_hits"), sum(col("h.score")).cast("long").as("score_sum"))

@@ -1,0 +1,22 @@
+package graft.entry
+
+import org.apache.spark.sql.DataFrame
+
+/** Latest-only persist registry for harness queries that fan one expensive
+  * subtree into several consumers (or whose subtree would be duplicated by
+  * Catalyst alias substitution — e.g. the adapter's synthesized text column
+  * feeding many grok references): `cycle(df)` releases the PREVIOUS query's
+  * cache and persists df for this one. The harness runs queries
+  * sequentially, so at most one query's cache is ever live (same pattern as
+  * Pipeline.enrichManaged). */
+private[entry] object QueryCache {
+  private val handle =
+    new java.util.concurrent.atomic.AtomicReference[Option[DataFrame]](None)
+
+  def cycle(df: DataFrame): DataFrame = {
+    handle.getAndSet(None).foreach(_.unpersist())
+    val cached = df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    handle.set(Some(cached))
+    cached
+  }
+}
