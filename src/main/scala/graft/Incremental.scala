@@ -177,9 +177,17 @@ object Incremental {
       // file writes do not reliably deliver observe() metrics when the
       // written subset is empty (verified on Spark 4.1), a plain count does.
       // Every downstream job below then reads the caches.
-      enriched.count()
+      val nEnriched = enriched.count()
       val m = obsIn.get ++ obsDedup.get ++ obsOut.get
-      val metrics0 = m.map { case (k, v) => k -> v.asInstanceOf[Long] }
+      // an EMPTY batch folds the CollectMetrics nodes away entirely
+      // (PropagateEmptyRelation) — all counters are genuinely 0 then; any
+      // other metric loss is a bug and must fail loud
+      require(m.nonEmpty || nEnriched == 0L,
+        s"observed metrics lost for a non-empty batch ($nEnriched rows)")
+      val expectedKeys = Seq("n_input", "n_parse_ok", "n_after_dedup",
+        "n_survivors", "n_enriched") ++ severities.map(s => s"sink_$s")
+      val metrics0 = expectedKeys.map(k =>
+        k -> m.get(k).map(_.asInstanceOf[Long]).getOrElse(0L)).toMap
 
       // --- sinks: alert documents partitioned by (run_id, severity); dynamic
       // partition overwrite ⇒ a replayed run replaces its own partitions

@@ -183,6 +183,39 @@ class IncrementalSpec extends SparkSuite {
     assert(!split.exists(r => r._1 == "c1" && r._2 == 1))
   }
 
+  test("empty batch between two runs: state carried forward, output unchanged") {
+    val fx = Gen.fixture(120)
+    val tb = tables(fx)
+    val cutoff = {
+      val ts = fx.turns.map(_.ts.getTime).sorted
+      ts(ts.size / 2)
+    }
+    val a = fx.turns.filter(_.ts.getTime < cutoff)
+    val b = fx.turns.filter(_.ts.getTime >= cutoff)
+    val stateDir = Files.createTempDirectory("graft-state").toString
+    val outDir = Files.createTempDirectory("graft-out").toString
+
+    Incremental.run(spark, spark.createDataset(a).toDF(), tb, fx.conf,
+      stateDir, outDir, "0001")
+    // an empty range (e.g. an idle window in production) must be a no-op
+    // that still lands a manifest and carries the full state forward
+    val r2 = Incremental.run(spark, spark.createDataset(Seq.empty[Turn]).toDF(),
+      tb, fx.conf, stateDir, outDir, "0002")
+    assert(r2.metrics("n_input") === 0L)
+    Incremental.run(spark, spark.createDataset(b).toDF(), tb, fx.conf,
+      stateDir, outDir, "0003")
+    assert(Incremental.completedRuns(stateDir) === Seq("0001", "0002", "0003"))
+
+    val single = Pipeline.enrich(spark.createDataset(fx.turns).toDF(), tb, fx.conf)
+      .filter(col("routed"))
+      .select("conv_id", "turn_idx", "note").collect()
+      .map(r => (r.getString(0), r.getInt(1), r.getInt(2))).sortBy(t => (t._1, t._2)).toSeq
+    val appended = Incremental.readAlerts(spark, stateDir, outDir)
+      .select("conv_id", "turn_idx", "note").collect()
+      .map(r => (r.getString(0), r.getInt(1), r.getInt(2))).sortBy(t => (t._1, t._2)).toSeq
+    assert(appended === single)
+  }
+
   test("state without manifest is invisible (crash safety)") {
     val fx = Gen.fixture(40)
     val tb = tables(fx)
