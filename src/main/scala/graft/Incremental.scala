@@ -48,7 +48,16 @@ object Incremental {
       metrics: Map[String, Long],
       inputFiles: Seq[String])
 
-  /** Manifested (completed) run ids, ascending. */
+  /** Run ordering: ordering is LOAD-BEARING (loadFullState/gc take the
+    * latest snapshot), so numeric run ids order NUMERICALLY — "10000" after
+    * "9999" and "10" after "2", with or without zero padding — and
+    * non-numeric ids order lexically after all numeric ones. */
+  private def runOrder(id: String): (Int, Long, String) =
+    if (id.nonEmpty && id.length <= 18 && id.forall(_.isDigit))
+      (0, id.toLong, id)
+    else (1, 0L, id)
+
+  /** Manifested (completed) run ids, ascending (see [[runOrder]]). */
   def completedRuns(stateDir: String): Seq[String] = {
     val dir = Paths.get(stateDir, "manifest")
     if (!Files.isDirectory(dir)) return Seq.empty
@@ -59,7 +68,7 @@ object Incremental {
       if (f.startsWith("run-") && f.endsWith(".json"))
         out += f.stripPrefix("run-").stripSuffix(".json")
     }
-    out.sorted.toSeq
+    out.sortBy(runOrder).toSeq
   }
 
   /** A state table from the LATEST completed run only — snapshots are full,
@@ -92,13 +101,9 @@ object Incremental {
   def gc(stateDir: String, keep: Int = 1): Seq[String] = {
     require(keep >= 1, "must keep at least the latest snapshot")
     val victims = completedRuns(stateDir).dropRight(keep)
-    def rm(f: java.io.File): Unit = {
-      val kids = f.listFiles(); if (kids != null) kids.foreach(rm)
-      f.delete(); ()
-    }
     victims.foreach { r =>
       Seq("seen_values", "fp_seen", "freq_counts", "fired").foreach { t =>
-        rm(Paths.get(stateDir, s"run-$r", t).toFile)
+        graft.util.Fs.deleteRecursively(Paths.get(stateDir, s"run-$r", t).toFile)
       }
     }
     victims
@@ -111,6 +116,7 @@ object Incremental {
     * orphans must not surface to readers. Partition-type inference is
     * disabled for the read so run_id stays the string the writer used. */
   def readAlerts(spark: SparkSession, stateDir: String, outDir: String): DataFrame = {
+    import org.apache.spark.sql.types.{StringType, StructField, StructType}
     val key = "spark.sql.sources.partitionColumnTypeInference.enabled"
     val prev = spark.conf.getOption(key)
     spark.conf.set(key, "false")
@@ -119,6 +125,15 @@ object Incremental {
       spark.read.parquet(s"$outDir/alerts_all")
         .where(org.apache.spark.sql.functions.col("run_id")
           .isin(runs.map(_.asInstanceOf[Any]): _*))
+    } catch {
+      // a healthy deployment that has never routed an alert leaves only
+      // _SUCCESS under alerts_all (nothing to infer a schema from) — that
+      // is an EMPTY alert set, not an error. Full alert-doc columns appear
+      // once any alert exists.
+      case _: org.apache.spark.sql.AnalysisException =>
+        spark.createDataFrame(new java.util.ArrayList[org.apache.spark.sql.Row](),
+          StructType(Seq(StructField("run_id", StringType),
+            StructField("severity", StringType))))
     } finally prev match {
       case Some(v) => spark.conf.set(key, v)
       case None => spark.conf.unset(key)
@@ -182,10 +197,11 @@ object Incremental {
       // an EMPTY batch folds the CollectMetrics nodes away entirely
       // (PropagateEmptyRelation) — all counters are genuinely 0 then; any
       // other metric loss is a bug and must fail loud
-      require(m.nonEmpty || nEnriched == 0L,
-        s"observed metrics lost for a non-empty batch ($nEnriched rows)")
       val expectedKeys = Seq("n_input", "n_parse_ok", "n_after_dedup",
         "n_survivors", "n_enriched") ++ severities.map(s => s"sink_$s")
+      require(nEnriched == 0L || expectedKeys.forall(m.contains),
+        s"observed metrics lost for a non-empty batch ($nEnriched rows): " +
+          s"missing ${expectedKeys.filterNot(m.contains).mkString(",")}")
       val metrics0 = expectedKeys.map(k =>
         k -> m.get(k).map(_.asInstanceOf[Long]).getOrElse(0L)).toMap
 

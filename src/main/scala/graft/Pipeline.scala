@@ -92,7 +92,7 @@ object Pipeline {
     * not three). Callers that control their own lifecycle should use
     * enrichPlanned + the thunk. */
   def enrichManaged(turns: DataFrame, tables: RuleTables,
-      conf: PipelineConf, state: State = State.empty): DataFrame = {
+      conf: PipelineConf, state: State = State.empty): DataFrame = managedRef.synchronized {
     val key = (turns.queryExecution.logical.canonicalized, conf,
       tables.sigRules, tables.whitelist,
       tables.ioc.queryExecution.logical.canonicalized,
@@ -112,8 +112,9 @@ object Pipeline {
   }
 
   /** Release the caches of the last enrichManaged plan (idempotent). */
-  def releaseManaged(): Unit =
+  def releaseManaged(): Unit = managedRef.synchronized {
     managedRef.getAndSet(None).foreach(_._3())
+  }
 
   /** FIR alert-document projection (SURVEY §2.1 S4): the reference's output
     * plugin posts an incident document — subject, category, severity — not a

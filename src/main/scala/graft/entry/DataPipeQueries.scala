@@ -123,14 +123,15 @@ object DataPipeQueries {
         .join(prefix.as("b"),
           col("a.shh") === col("b.shh") && col("a.doc_id") < col("b.doc_id"))
         .select(col("a.doc_id").as("i"), col("b.doc_id").as("j")).distinct()
-      // per-document shingle-array dim is tiny relative to the candidate
-      // pairs — broadcast both verify sides (at cluster scale AQE falls back
-      // to shuffle joins keyed by i/j, which partitions cleanly)
+      // verify joins keyed by i/j with NO broadcast hint: an explicit hint
+      // is never demoted for size, but AQE converts these to broadcast at
+      // runtime when the cached docsh side is small, and shuffles cleanly
+      // by i/j at corpus scale
       cand
-        .join(broadcast(docsh.select(col("doc_id").as("i"), col("shs").as("sa"),
-          col("nsh").as("na"))), "i")
-        .join(broadcast(docsh.select(col("doc_id").as("j"), col("shs").as("sb"),
-          col("nsh").as("nb"))), "j")
+        .join(docsh.select(col("doc_id").as("i"), col("shs").as("sa"),
+          col("nsh").as("na")), "i")
+        .join(docsh.select(col("doc_id").as("j"), col("shs").as("sb"),
+          col("nsh").as("nb")), "j")
         .withColumn("inter", size(array_intersect(col("sa"), col("sb"))).cast("long"))
         .filter(lit(3) * col("inter") >= col("na") + col("nb"))
         .select(col("i"), col("j"), col("inter"), col("na"), col("nb"))

@@ -29,11 +29,18 @@ object Cidr {
     (lo, lo | (~mask & 0xffffffffL))
   }
 
-  /** Dotted-quad string column → numeric IPv4 (null on malformed input via
-    * the long casts). */
+  /** Dotted-quad string column → numeric IPv4; NULL (⇒ no subnet matches,
+    * the Logstash cidr behavior) on malformed input — wrong octet count,
+    * non-numeric octets, or octets outside 0..255 ('10.0.0.999' passes the
+    * grok IP pattern's \d{1,3} but is not an address). try_cast + get()
+    * because ANSI-mode cast/element_at THROW on bad input. */
   def ipNum(ip: Column): Column = {
-    val p = (i: Int) => element_at(split(ip, "\\."), i).cast("long")
-    p(1) * 16777216L + p(2) * 65536L + p(3) * 256L + p(4)
+    val parts = split(ip, "\\.")
+    val o = (i: Int) => get(parts, lit(i)).try_cast("long")
+    val valid = size(parts) === 4 &&
+      (0 to 3).map(i => o(i).isNotNull && o(i) >= 0L && o(i) <= 255L)
+        .reduce(_ && _)
+    when(valid, o(0) * 16777216L + o(1) * 65536L + o(2) * 256L + o(3))
   }
 
   /** true iff the dotted-quad `ip` column falls inside ANY of the subnets. */

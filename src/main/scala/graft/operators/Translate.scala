@@ -16,11 +16,16 @@ import org.apache.spark.sql.functions._
 object Translate {
 
   /** Dictionary-table mode: dict(key, value) joined broadcast-left; misses
-    * get `default`. */
+    * get `default`. Duplicate keys are REJECTED loudly (a silently-arbitrary
+    * pick would mask a corrupt dictionary file; dictionaries are
+    * broadcast-small by contract, so the check is cheap). */
   def byTable(df: DataFrame, dict: DataFrame, src: Column, out: String,
       default: String): DataFrame = {
-    val d = broadcast(dict.select(col("key").as("_tr_k"), col("value").as("_tr_v"))
-      .groupBy("_tr_k").agg(max("_tr_v").as("_tr_v")))
+    val dups = dict.groupBy(col("key")).count().filter(col("count") > 1)
+      .select("key").limit(5).collect().map(_.get(0))
+    require(dups.isEmpty,
+      s"translate dictionary has duplicate keys: ${dups.mkString(", ")}")
+    val d = broadcast(dict.select(col("key").as("_tr_k"), col("value").as("_tr_v")))
     df.join(d, src === col("_tr_k"), "left_outer")
       .withColumn(out, coalesce(col("_tr_v"), lit(default)))
       .drop("_tr_k", "_tr_v")

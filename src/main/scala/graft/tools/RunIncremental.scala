@@ -41,7 +41,8 @@ object RunIncremental {
 
     val runId = f"${Incremental.completedRuns(stateDir).size + 1}%04d"
     val r = Incremental.run(spark, turns, tables, conf, stateDir, outDir, runId)
-    println(s"run=$runId files=${r.inputFiles.size}")
+    println(s"run=$runId files=${r.metrics("n_input_files")} " +
+      s"(sample=${r.inputFiles.size})")
     r.metrics.toSeq.sortBy(_._1).foreach { case (k, v) => println(s"metric[$k] = $v") }
     spark.stop()
   }

@@ -216,6 +216,29 @@ class IncrementalSpec extends SparkSuite {
     assert(appended === single)
   }
 
+  test("run ordering is numeric (run 10 after run 2, 10000 after 9999)") {
+    val stateDir = Files.createTempDirectory("graft-state").toString
+    val dir = java.nio.file.Paths.get(stateDir, "manifest")
+    Files.createDirectories(dir)
+    Seq("2", "10", "9999", "10000", "0003").foreach(r =>
+      Files.writeString(dir.resolve(s"run-$r.json"), "{}"))
+    assert(Incremental.completedRuns(stateDir) ===
+      Seq("2", "0003", "10", "9999", "10000"))
+  }
+
+  test("readAlerts on a deployment that never routed an alert is empty, not an error") {
+    val fx = Gen.fixture(5)
+    // whitelist everything → zero routed rows, alerts_all holds only _SUCCESS
+    val wl = Seq(WhitelistRule("conv_id", "rx", "."))
+    val tb = RuleTables(fx.ioc.toDF(), fx.rules, fx.ref.toDF(), wl)
+    val stateDir = Files.createTempDirectory("graft-state").toString
+    val outDir = Files.createTempDirectory("graft-out").toString
+    val r = Incremental.run(spark, spark.createDataset(fx.turns).toDF(), tb,
+      fx.conf, stateDir, outDir, "0001")
+    assert(r.sinkCounts.values.sum === 0L)
+    assert(Incremental.readAlerts(spark, stateDir, outDir).count() === 0L)
+  }
+
   test("state without manifest is invisible (crash safety)") {
     val fx = Gen.fixture(40)
     val tb = tables(fx)
