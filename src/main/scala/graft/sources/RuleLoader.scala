@@ -1,0 +1,76 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.RuleTables
+import graft.model.{IocEntry, SigRule, WhitelistRule}
+
+/** JSON rule-file loader — the configuration surface of the reference
+  * (SURVEY §1.1 [R]: the sig filter reads rules.json / ioc.json / ref.json;
+  * users ship rule FILES, not code). File shapes:
+  *
+  * {{{
+  * rules.json:     [{"id": 3, "name": "exfil-5xx", "score": 60,
+  *                   "clauses": [{"field": "action", "op": "eq", "value": "exfil"},
+  *                               {"field": "status", "op": "gt", "value": "499"}]}, …]
+  * ioc.json:       [{"kind": "ip", "value": "203.0.113.7", "score": 30}, …]
+  * whitelist.json: [{"field": "action", "op": "eq", "value": "ping"}, …]
+  * ref.json:       [{"key": "user", "field": "action", "value": "login"}, …]
+  * }}}
+  *
+  * Parsed with Spark's multiLine JSON reader (no extra deps); clause arrays
+  * explode into the flat SigRule clause rows the compiled tier consumes
+  * (clauses of one rule AND together; the rule's score rides on the first
+  * clause, matching the fixture convention). Rule files are driver-side by
+  * contract (broadcast-small). */
+object RuleLoader {
+
+  private def readJson(spark: SparkSession, path: String): DataFrame =
+    spark.read.option("multiLine", "true").json(path)
+
+  def sigRules(spark: SparkSession, path: String): Seq[SigRule] = {
+    import spark.implicits._
+    readJson(spark, path)
+      .select(col("id").cast("int").as("rule_id"), col("name"),
+        col("score").cast("int").as("score"),
+        posexplode(col("clauses")).as(Seq("pos", "c")))
+      .select(col("rule_id"), col("name"), col("c.field").as("field"),
+        col("c.op").as("op"), col("c.value").as("arg"),
+        // AND-of-clauses carries the rule score once (on clause 0)
+        when(col("pos") === 0, col("score")).otherwise(0).as("score"))
+      .as[SigRule].collect().toSeq
+      .sortBy(r => (r.rule_id, r.score * -1))
+  }
+
+  def ioc(spark: SparkSession, path: String): Seq[IocEntry] = {
+    import spark.implicits._
+    readJson(spark, path)
+      .select(col("kind"), col("value"), col("score").cast("int").as("score"))
+      .as[IocEntry].collect().toSeq
+  }
+
+  def whitelist(spark: SparkSession, path: String): Seq[WhitelistRule] = {
+    import spark.implicits._
+    readJson(spark, path)
+      .select(col("field"), col("op"), col("value").as("arg"))
+      .as[WhitelistRule].collect().toSeq
+  }
+
+  def refBaseline(spark: SparkSession, path: String): DataFrame =
+    readJson(spark, path)
+      .select(col("key").as("ref_key"), col("field"), col("value"))
+
+  /** All four files from one config dir (missing whitelist/ref allowed). */
+  def fromDir(spark: SparkSession, dir: String): RuleTables = {
+    import spark.implicits._
+    def exists(p: String) = java.nio.file.Files.exists(java.nio.file.Paths.get(p))
+    RuleTables(
+      ioc = ioc(spark, s"$dir/ioc.json").toDF(),
+      sigRules = sigRules(spark, s"$dir/rules.json"),
+      ref = if (exists(s"$dir/ref.json")) refBaseline(spark, s"$dir/ref.json")
+        else Seq.empty[graft.model.RefEntry].toDF(),
+      whitelist = if (exists(s"$dir/whitelist.json"))
+        whitelist(spark, s"$dir/whitelist.json") else Seq.empty)
+  }
+}
