@@ -32,7 +32,11 @@ object RunPipeline {
 
     val conf = PipelineConf()
     val turns = Source.readTable(spark, conf, s"$inDir/transcripts")
-    val tables = Source.readRuleTables(spark, conf, inDir)
+    // optional 3rd arg: a reference-style JSON config dir (rules.json /
+    // ioc.json / whitelist.json / ref.json) instead of the parquet tables
+    val tables =
+      if (args.length > 2) graft.sources.RuleLoader.fromDir(spark, args(2))
+      else Source.readRuleTables(spark, conf, inDir)
 
     val (enriched, cleanup) = Pipeline.enrichPlanned(turns, tables, conf)
     try {
