@@ -405,6 +405,48 @@ scored AS (
         .orderBy("region")
     },
 
+    // P18: Logstash `throttle` filter — pass at most K events per (key,
+    // period); later ones get tagged/dropped. row_number over the stable
+    // order inside each (key, period-bucket).
+    Q("p18_throttle", sqlT(
+      """SELECT conv_id, turn_idx, throttled FROM (
+        |  SELECT conv_id, turn_idx,
+        |    row_number() OVER (PARTITION BY conv_id, CAST(floor(epoch(ts)) AS BIGINT) // 3600
+        |      ORDER BY ts, turn_idx) > 3 AS throttled
+        |  FROM turns)
+        |ORDER BY conv_id, turn_idx""".stripMargin)) { (s, d) =>
+      val w = Window.partitionBy(col("conv_id"), floor(unix_timestamp(col("ts")) / 3600L))
+        .orderBy(col("ts"), col("turn_idx"))
+      T(s, d).withColumn("throttled", row_number().over(w) > 3)
+        .select("conv_id", "turn_idx", "throttled")
+        .orderBy("conv_id", "turn_idx")
+    },
+
+    // P19: Logstash `csv` filter — parse a delimited line into typed columns
+    // (from_csv, codegen'd). The csv line is synthesized from events columns
+    // so the differential also proves the round-trip.
+    Q("p19_csv", sqlT(
+      """SELECT conv_id, turn_idx,
+        |  split_part(csvline, ';', 1) AS f_role,
+        |  CAST(split_part(csvline, ';', 2) AS INT) AS f_idx,
+        |  split_part(csvline, ';', 3) AS f_head
+        |FROM (SELECT conv_id, turn_idx,
+        |        role || ';' || CAST(turn_idx AS VARCHAR) || ';' || split_part(text, ' ', 1) AS csvline
+        |      FROM turns)
+        |ORDER BY conv_id, turn_idx""".stripMargin)) { (s, d) =>
+      val csvline = concat_ws(";", col("role"), col("turn_idx"),
+        element_at(split(col("text"), " "), 1))
+      T(s, d).withColumn("csvline", csvline)
+        .withColumn("c", from_csv(col("csvline"),
+          org.apache.spark.sql.types.StructType.fromDDL(
+            "f_role string, f_idx int, f_head string"),
+          Map("sep" -> ";")))
+        .select(col("conv_id"), col("turn_idx"),
+          col("c.f_role").as("f_role"), col("c.f_idx").as("f_idx"),
+          col("c.f_head").as("f_head"))
+        .orderBy("conv_id", "turn_idx")
+    },
+
     Q("agg_udaf_stats", sqlP(
       """SELECT role, count(status) AS n_status,
         |  CAST(coalesce(sum(status), 0) AS BIGINT) AS sum_status, max(status) AS max_status
