@@ -27,6 +27,10 @@ object ExplainDump {
     Files.createDirectories(outDir)
 
     def dump(name: String, df: org.apache.spark.sql.DataFrame): Unit = {
+      // execute first: pre-execution AQE plans (isFinalPlan=false) carry no
+      // WholeStageCodegen annotation and hide runtime join conversions —
+      // the dump must show the plan that actually ran
+      df.foreach(_ => ())
       val plan = df.queryExecution.explainString(
         org.apache.spark.sql.execution.FormattedMode)
       Files.writeString(outDir.resolve(s"$name.txt"), plan)
