@@ -26,7 +26,12 @@ object GraftExtensions {
   private def build(exprs: Seq[Expression]): Expression = {
     require(exprs.size >= 2, "grok_struct(text, 'pattern'[, 'fallback', ...])")
     val pats = exprs.tail.map {
-      case lit if lit.foldable => String.valueOf(lit.eval())
+      case lit if lit.foldable =>
+        val v = lit.eval()
+        // a foldable NULL would otherwise stringify to the 4-char pattern
+        // "null" and compile into a regex that silently matches nothing
+        require(v != null, "grok_struct pattern literal must not be NULL")
+        String.valueOf(v)
       case other => throw new IllegalArgumentException(
         s"grok_struct patterns must be literals, got $other")
     }

@@ -109,34 +109,44 @@ object Incremental {
     victims
   }
 
+  /** Canonical schema of the alert docs [[run]] writes: the enriched row +
+    * the alertDocs projection + the (run_id, severity) partition columns.
+    * Supplying it to the reader (a) pins run_id/severity to STRING without
+    * mutating the session-wide partition-type-inference conf (not safe under
+    * concurrent queries) and (b) gives the never-alerted empty fallback the
+    * REAL column set. Drift between this and the written files is pinned by
+    * IncrementalSpec (schema equality after a real run). */
+  val AlertDocSchema: org.apache.spark.sql.types.StructType =
+    org.apache.spark.sql.types.StructType.fromDDL(
+      "conv_id string, turn_idx int, role string, text string, tool string, " +
+        "ts timestamp, ts_sec bigint, ts_us bigint, action string, user string, " +
+        "src_ip string, dst_host string, status int, hashv string, uri string, " +
+        "parse_ok boolean, tags array<string>, fp string, fp_bucket bigint, " +
+        "first_seen boolean, freq_hit boolean, " +
+        "hits array<struct<rule_id:int,name:string,score:int,kind:string>>, " +
+        "note int, routed boolean, category string, subject string, " +
+        // partition columns (run_id, severity) — the reader puts them LAST
+        "run_id string, severity string")
+
   /** Crash-consistent alert reader: only runs with a landed manifest are
     * visible. A run that crashed after its sink write but before its
     * manifest leaves orphan run_id partitions — replays REPLACE them
     * (dynamic partition overwrite), but if the run is never replayed the
-    * orphans must not surface to readers. Partition-type inference is
-    * disabled for the read so run_id stays the string the writer used. */
+    * orphans must not surface to readers. Reading with [[AlertDocSchema]]
+    * keeps run_id the string the writer used (no partition-type inference). */
   def readAlerts(spark: SparkSession, stateDir: String, outDir: String): DataFrame = {
-    import org.apache.spark.sql.types.{StringType, StructField, StructType}
-    val key = "spark.sql.sources.partitionColumnTypeInference.enabled"
-    val prev = spark.conf.getOption(key)
-    spark.conf.set(key, "false")
+    val runs = completedRuns(stateDir)
     try {
-      val runs = completedRuns(stateDir)
-      spark.read.parquet(s"$outDir/alerts_all")
+      spark.read.schema(AlertDocSchema).parquet(s"$outDir/alerts_all")
         .where(org.apache.spark.sql.functions.col("run_id")
           .isin(runs.map(_.asInstanceOf[Any]): _*))
     } catch {
       // a healthy deployment that has never routed an alert leaves only
-      // _SUCCESS under alerts_all (nothing to infer a schema from) — that
-      // is an EMPTY alert set, not an error. Full alert-doc columns appear
-      // once any alert exists.
+      // _SUCCESS under alerts_all (no partition directories at all) — that
+      // is an EMPTY alert set, not an error; same full schema either way.
       case _: org.apache.spark.sql.AnalysisException =>
-        spark.createDataFrame(new java.util.ArrayList[org.apache.spark.sql.Row](),
-          StructType(Seq(StructField("run_id", StringType),
-            StructField("severity", StringType))))
-    } finally prev match {
-      case Some(v) => spark.conf.set(key, v)
-      case None => spark.conf.unset(key)
+        spark.createDataFrame(
+          new java.util.ArrayList[org.apache.spark.sql.Row](), AlertDocSchema)
     }
   }
 
@@ -173,7 +183,7 @@ object Incremental {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val survivors = deduped.filter(!col("_wl")).drop("_wl")
     val enriched0 = RefCheck(
-      SigRules(IocEnrich(survivors, tables.ioc), tables.sigRules),
+      SigRules(IocEnrich(survivors, tables.ioc, conf), tables.sigRules),
       tables.ref, conf)
     val withFirst = FirstSeen(enriched0, conf, state.seenValues,
       aux = Some(survivors))
@@ -305,7 +315,10 @@ object Incremental {
   /** Manifest written atomically (tmp + move) and LAST. */
   private def writeManifest(stateDir: String, runId: String,
       metrics: Map[String, Long], fileSample: Seq[String]): Unit = {
-    def q(s: String) = "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
+    // centralized escaper: control chars (a newline/tab is legal in a POSIX
+    // input-file path) must not yield an unparseable manifest — that would
+    // make a COMPLETED run invisible to completedRuns-based readers
+    def q(s: String) = graft.util.Json.quote(s)
     val json =
       s"""{"run_id": ${q(runId)},
          | "metrics": {${metrics.toSeq.sortBy(_._1)

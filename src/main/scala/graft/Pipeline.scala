@@ -70,7 +70,7 @@ object Pipeline {
     // column batches from the cache
     val survivors = p(Whitelist(deduped, tables.whitelist))
     val enriched = RefCheck(
-      SigRules(IocEnrich(survivors, tables.ioc), tables.sigRules),
+      SigRules(IocEnrich(survivors, tables.ioc, conf), tables.sigRules),
       tables.ref, conf)
     val withFirst = FirstSeen(enriched, conf, state.seenValues,
       aux = Some(survivors))
@@ -90,7 +90,14 @@ object Pipeline {
     * calls with the SAME inputs return the SAME DataFrame so its cached
     * stages are shared instead of re-materialized (c8/c9/c9b run one chain,
     * not three). Callers that control their own lifecycle should use
-    * enrichPlanned + the thunk. */
+    * enrichPlanned + the thunk.
+    *
+    * CONTRACT: callers are sequential and inputs are immutable — the cache is
+    * keyed by the canonicalized logical plan, so if the files under the same
+    * path change between calls the previous persisted data would be served;
+    * interleaved callers can see their cache released mid-use. Both hold for
+    * the driver harness (sequential queries over immutable sf dirs); anything
+    * else must use enrichPlanned directly. */
   def enrichManaged(turns: DataFrame, tables: RuleTables,
       conf: PipelineConf, state: State = State.empty): DataFrame = managedRef.synchronized {
     val key = (turns.queryExecution.logical.canonicalized, conf,

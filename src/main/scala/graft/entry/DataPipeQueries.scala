@@ -194,17 +194,16 @@ object DataPipeQueries {
       val tok = docs(s, d)
         .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
         .select(col("doc_id"), h4Spark(col("w")).as("h"))
-      val bits = tok
-        .select(col("doc_id"), col("h"),
-          explode(sequence(lit(0), lit(15))).as("bit"))
-        .groupBy("doc_id", "bit")
-        .agg(sum(when(expr("(h div shiftleft(1, bit)) % 2 = 1"), 1)
-          .otherwise(-1)).as("wsum"))
-      bits.groupBy("doc_id")
-        .agg(array_join(transform(
-          array_sort(collect_list(struct((lit(15) - col("bit")).as("ord"),
-            when(col("wsum") >= 0, "1").otherwise("0").as("c")))),
-          x => x.getField("c")), "").as("simhash"))
+      // 16 conditional sum() columns over the UN-exploded token table — the
+      // bit dimension lives in the aggregate list, not in a 16× row blowup
+      // (same de-explode shape as the minhash min() columns): shuffle input
+      // stays one row per token, partial aggregation combines map-side.
+      val wsums = (0 until 16).map(b =>
+        sum(when(shiftright(col("h"), b) % 2 === 1, 1).otherwise(-1)).as(s"_w$b"))
+      tok.groupBy("doc_id").agg(wsums.head, wsums.tail: _*)
+        .select(col("doc_id"),
+          concat((15 to 0 by -1).map(b =>
+            when(col(s"_w$b") >= 0, "1").otherwise("0")): _*).as("simhash"))
         .orderBy("doc_id")
     },
 

@@ -63,7 +63,20 @@ case class PipelineConf(
       * `match` list semantics: first match wins, `_grokparsefailure` only
       * when all miss. */
     grokFallbacks: Seq[String] = Nil,
+    /** C6: fields whose never-before-seen values raise the `new:` hit —
+      * configurable in the reference's rule files (sig filter new-value
+      * options, SURVEY §1.1). */
     trackedFields: Seq[String] = Seq("user", "dst_host"),
+    /** C1: fields composing the dedup fingerprint (sig filter fingerprint
+      * source config). fp = sha256 of the NUL-joined non-null values. */
+    fingerprintFields: Seq[String] = Seq("text"),
+    /** C3: IOC kind → event field it probes (ioc.json mapping config).
+      * Hit order in `hits_ioc` is alphabetical by kind — keep RefModel in
+      * lockstep. */
+    iocKindFields: Seq[(String, String)] = Seq(
+      "domain" -> "dst_host", "hash" -> "hashv", "ip" -> "src_ip", "user" -> "user"),
+    /** C5: fields checked against the (role, field, value) ref baseline. */
+    refFields: Seq[String] = Seq("action", "dst_host"),
     freqKey: String = "conv_id",
     freqWindowSec: Long = 60L,
     freqThreshold: Int = 5,

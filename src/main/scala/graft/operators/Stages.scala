@@ -87,15 +87,20 @@ object Parse {
   }
 }
 
-/** C1 fingerprint dedup: fp = sha256(text); keep the first row per
-  * (fp, delay-bucket) under stable (ts, conv_id, turn_idx) order.
-  * Cross-run suppression (resume) anti-joins the checkpointed `fp_seen`
-  * state table before the window. */
+/** C1 fingerprint dedup: fp = sha256 over the configured fingerprint fields
+  * (NUL-joined, nulls skipped — concat_ws semantics, mirrored in RefModel);
+  * keep the first row per (fp, delay-bucket) under stable
+  * (ts, conv_id, turn_idx) order. Cross-run suppression (resume) anti-joins
+  * the checkpointed `fp_seen` state table before the window. */
 object Dedup {
+  /** The fingerprint expression for a conf (default: sha256(text)). */
+  def fpExpr(conf: PipelineConf): Column =
+    sha2(concat_ws("\u0000", conf.fingerprintFields.map(col): _*), 256)
+
   def apply(df: DataFrame, conf: PipelineConf,
       fpSeen: Option[DataFrame] = None): DataFrame = {
     val withFp = df
-      .withColumn("fp", sha2(col("text"), 256))
+      .withColumn("fp", fpExpr(conf))
       .withColumn("fp_bucket", floor(col("ts_sec") / conf.dedupDelaySec))
     val base = fpSeen match {
       case Some(st) => withFp.join(st.select(col("fp"), col("fp_bucket")),
@@ -128,25 +133,26 @@ object Whitelist {
   * check_ioc as relational lookup joins. Hit order inside `hits_ioc` is
   * alphabetical by kind (domain, hash, ip, user) to match RefModel. */
 object IocEnrich {
-  /** kind → parsed field it probes. */
-  val KindField: Seq[(String, String)] =
-    Seq("domain" -> "dst_host", "hash" -> "hashv", "ip" -> "src_ip", "user" -> "user")
-
-  def apply(df: DataFrame, ioc: DataFrame): DataFrame = {
+  def apply(df: DataFrame, ioc: DataFrame,
+      conf: PipelineConf = PipelineConf()): DataFrame = {
+    // kind → probed field comes from the rule-file config (conf.iocKindFields);
+    // sorted by kind so hits_ioc order matches RefModel regardless of the
+    // order the config file lists the mappings in
+    val kindField = conf.iocKindFields.sortBy(_._1)
     val dim = ioc.groupBy(col("kind"), lower(col("value")).as("value"))
       .agg(max(col("score")).as("score"))
-    val joined = KindField.foldLeft(df) { case (acc, (kind, fld)) =>
+    val joined = kindField.foldLeft(df) { case (acc, (kind, fld)) =>
       val d = broadcast(dim.filter(col("kind") === kind)
         .select(col("value").as(s"_${kind}_v"), col("score").as(s"_${kind}_s")))
       acc.join(d, lower(col(fld)) === col(s"_${kind}_v"), "left_outer")
         .drop(s"_${kind}_v")
     }
-    val hitCols = KindField.map { case (kind, _) =>
+    val hitCols = kindField.map { case (kind, _) =>
       when(col(s"_${kind}_s").isNotNull,
         ClauseCompiler.hitStruct(0, s"ioc:$kind", col(s"_${kind}_s"), "ioc"))
     }
     joined.withColumn("hits_ioc", array_compact(array(hitCols: _*)))
-      .drop(KindField.map { case (k, _) => s"_${k}_s" }: _*)
+      .drop(kindField.map { case (k, _) => s"_${k}_s" }: _*)
   }
 }
 
@@ -171,9 +177,8 @@ object SigRules {
   * (Left-outer + null-marker rather than left_anti because non-deviant rows
   * must flow through with empty hits, not be filtered.) */
 object RefCheck {
-  val RefFields: Seq[String] = Seq("action", "dst_host")
-
   def apply(df: DataFrame, ref: DataFrame, conf: PipelineConf): DataFrame = {
+    val RefFields = conf.refFields
     val joined = RefFields.foldLeft(df) { (acc, f) =>
       val d = broadcast(ref.filter(col("field") === f)
         .select(col("ref_key").as(s"_rk_$f"), col("value").as(s"_rv_$f"))
@@ -248,9 +253,13 @@ object FirstSeen {
   * trailing window), `firedBuckets` = (key, reset-bucket) pairs that already
   * fired (re-fire suppression survives the boundary). */
 object Frequency {
-  /** Per-(key, sec) counts of this batch — also the freq state delta. */
+  /** Per-(key, sec) counts of this batch — also the freq state delta.
+    * Rows with a NULL/empty key carry no frequency identity (a configurable
+    * freqKey can be a nullable parsed field) — they never count toward or
+    * receive a burst (mirrored in RefModel). */
   def perSecCounts(df: DataFrame, conf: PipelineConf): DataFrame =
-    df.groupBy(col(conf.freqKey).as("_k"), col("ts_sec").as("_s"))
+    df.filter(col(conf.freqKey).isNotNull && col(conf.freqKey).cast("string") =!= "")
+      .groupBy(col(conf.freqKey).as("_k"), col("ts_sec").as("_s"))
       .agg(count(lit(1)).as("_c"))
 
   /** `aux`: same-rows slim source for the per-sec counts and firing-row

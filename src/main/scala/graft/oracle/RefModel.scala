@@ -122,12 +122,17 @@ object RefModel {
       }
     }
 
-    // ---- C1 fingerprint dedup: fp = text; keep first per (fp, delay-bucket);
-    // cross-run: fp seen in a prior run's same bucket ⇒ drop.
+    // ---- C1 fingerprint dedup: fp key = NUL-joined non-null values of the
+    // configured fingerprint fields (concat_ws semantics — the sha256 layer
+    // is injective over this key, so comparing keys ≡ comparing hashes);
+    // keep first per (fp, delay-bucket); cross-run: fp seen in a prior run's
+    // same bucket ⇒ drop.
+    def fpKey(p: P): String =
+      conf.fingerprintFields.flatMap(f => fieldOf(p.t, p.fields, f)).mkString("\u0000")
     val seenBucket = scala.collection.mutable.Set.empty[(String, Long)] ++ seenFps
     val afterDedup = parsed.filter { p =>
       val bucket = tsSec(p.t) / conf.dedupDelaySec
-      seenBucket.add((p.t.text, bucket))
+      seenBucket.add((fpKey(p), bucket))
     }
 
     // ---- C2 whitelist (first/stop rules): any match ⇒ drop from pipeline
@@ -135,9 +140,9 @@ object RefModel {
       whitelist.exists(w => clauseMatches(p.t, p.fields, p.ok, w.field, w.op, w.arg))
     }
 
-    // ---- C3 IOC: kind → event field; lowercased equality
-    val kindField = Map("ip" -> "src_ip", "domain" -> "dst_host",
-      "hash" -> "hashv", "user" -> "user")
+    // ---- C3 IOC: kind → event field from the conf mapping; lowercased
+    // equality; probed in kind-alphabetical order (mirror of IocEnrich)
+    val kindField = conf.iocKindFields.sortBy(_._1)
     val iocByKind: Map[String, Map[String, Int]] =
       ioc.groupBy(_.kind).map { case (k, es) =>
         k -> es.groupBy(_.value.toLowerCase).map { case (v, g) => v -> g.map(_.score).max }
@@ -146,16 +151,19 @@ object RefModel {
     // ---- C4 sig rules grouped by rule_id (AND of clauses)
     val ruleGroups = rules.groupBy(_.rule_id).toSeq.sortBy(_._1)
 
-    // ---- C5 ref baseline lookup
-    val refFields = Seq("action", "dst_host")
+    // ---- C5 ref baseline lookup (checked fields from the conf mapping)
+    val refFields = conf.refFields
     val refSet: Set[(String, String, String)] =
       ref.map(r => (r.ref_key, r.field, r.value)).toSet
 
     // ---- C6 first-seen state
     val seen = scala.collection.mutable.Set.empty[(String, String)] ++ seenValues
 
-    // ---- C7 frequency pre-pass: per key, trailing count at second resolution
+    // ---- C7 frequency pre-pass: per key, trailing count at second resolution.
+    // Rows with a missing/empty key have no frequency identity (mirror of
+    // Frequency.perSecCounts' null/empty guard).
     val byKey = afterWl.groupBy(p => fieldOf(p.t, p.fields, conf.freqKey).getOrElse(""))
+      .filter(_._1.nonEmpty)
     // counts of rows per (key, sec)
     val freqCnt: Map[(String, Long), Long] = byKey.flatMap { case (k, rows) =>
       val secs = rows.map(p => tsSec(p.t))
@@ -176,8 +184,8 @@ object RefModel {
 
       if (p.ok) {
         // C3 IOC
-        for ((kind, fld) <- kindField.toSeq.sortBy(_._1)) {
-          for (v <- p.fields.get(fld); score <- iocByKind.getOrElse(kind, Map.empty).get(v.toLowerCase))
+        for ((kind, fld) <- kindField) {
+          for (v <- fieldOf(t, p.fields, fld); score <- iocByKind.getOrElse(kind, Map.empty).get(v.toLowerCase))
             hits += Hit(0, s"ioc:$kind", score, "ioc")
         }
         // C4 sig
@@ -186,7 +194,7 @@ object RefModel {
             hits += Hit(rid, clauses.head.name, clauses.map(_.score).sum, "sig")
         }
         // C5 ref deviations
-        for (f <- refFields; v <- p.fields.get(f) if v.nonEmpty) {
+        for (f <- refFields; v <- fieldOf(t, p.fields, f) if v.nonEmpty) {
           if (!refSet.contains((t.role, f, v)))
             hits += Hit(0, s"ref:$f", conf.refScore, "ref")
         }
@@ -195,7 +203,7 @@ object RefModel {
       // C6 first-seen (tracked fields, parse_ok only)
       var firstSeen = false
       if (p.ok) {
-        for (f <- conf.trackedFields; v <- p.fields.get(f) if v.nonEmpty) {
+        for (f <- conf.trackedFields; v <- fieldOf(t, p.fields, f) if v.nonEmpty) {
           if (seen.add((f, v))) {
             firstSeen = true
             hits += Hit(0, s"new:$f", conf.newValueScore, "new")

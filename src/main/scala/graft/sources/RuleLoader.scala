@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.RuleTables
-import graft.model.{IocEntry, SigRule, WhitelistRule}
+import graft.model.{IocEntry, PipelineConf, SigRule, WhitelistRule}
 
 /** JSON rule-file loader — the configuration surface of the reference
   * (SURVEY §1.1 [R]: the sig filter reads rules.json / ioc.json / ref.json;
@@ -60,6 +60,51 @@ object RuleLoader {
   def refBaseline(spark: SparkSession, path: String): DataFrame =
     readJson(spark, path)
       .select(col("key").as("ref_key"), col("field"), col("value"))
+
+  /** Optional mappings.json — the sig filter's FIELD-MAPPING config surface:
+    * which fields compose the C1 fingerprint, which event field each IOC
+    * kind probes (C3), which fields the C5 ref check compares, which fields
+    * the C6 new-value check tracks, and the C7 frequency key. A user whose
+    * logs carry different field names configures this in the rule dir
+    * instead of changing code. Shape:
+    *
+    * {{{
+    * mappings.json: {"fingerprint_fields": ["text"],
+    *                 "ioc_fields": {"ip": "src_ip", "domain": "dst_host"},
+    *                 "ref_fields": ["action"],
+    *                 "tracked_fields": ["user"],
+    *                 "freq_key": "conv_id"}
+    * }}}
+    *
+    * Missing file or missing key ⇒ the base conf's value is kept. */
+  def confWithMappings(spark: SparkSession, path: String,
+      base: PipelineConf): PipelineConf = {
+    import org.apache.spark.sql.types._
+    if (!java.nio.file.Files.exists(java.nio.file.Paths.get(path))) return base
+    val schema = StructType(Seq(
+      StructField("fingerprint_fields", ArrayType(StringType)),
+      StructField("ioc_fields", MapType(StringType, StringType)),
+      StructField("ref_fields", ArrayType(StringType)),
+      StructField("tracked_fields", ArrayType(StringType)),
+      StructField("freq_key", StringType)))
+    val row = spark.read.schema(schema).option("multiLine", "true")
+      .json(path).head()
+    def arr(i: Int, dflt: Seq[String]): Seq[String] =
+      if (row.isNullAt(i)) dflt else row.getSeq[String](i)
+    base.copy(
+      fingerprintFields = arr(0, base.fingerprintFields),
+      iocKindFields =
+        if (row.isNullAt(1)) base.iocKindFields
+        else row.getMap[String, String](1).toSeq.sortBy(_._1),
+      refFields = arr(2, base.refFields),
+      trackedFields = arr(3, base.trackedFields),
+      freqKey = if (row.isNullAt(4)) base.freqKey else row.getString(4))
+  }
+
+  /** Conf for a config dir: `base` + the dir's mappings.json (if present). */
+  def confFromDir(spark: SparkSession, dir: String,
+      base: PipelineConf = PipelineConf()): PipelineConf =
+    confWithMappings(spark, s"$dir/mappings.json", base)
 
   /** All four files from one config dir (missing whitelist/ref allowed). */
   def fromDir(spark: SparkSession, dir: String): RuleTables = {

@@ -34,7 +34,7 @@ object StreamPipeline {
       .dropDuplicatesWithinWatermark("fp")
     val survivors = Whitelist(parsed, tables.whitelist)
     val enriched = RefCheck(
-      SigRules(IocEnrich(survivors, tables.ioc), tables.sigRules),
+      SigRules(IocEnrich(survivors, tables.ioc, conf), tables.sigRules),
       tables.ref, conf)
     val hits = concat(col("hits_ioc"), col("hits_sig"), col("hits_ref"))
     enriched

@@ -30,10 +30,13 @@ object RunPipeline {
     spark.sparkContext.setLogLevel("WARN")
     import spark.implicits._
 
-    val conf = PipelineConf()
-    val turns = Source.readTable(spark, conf, s"$inDir/transcripts")
     // optional 3rd arg: a reference-style JSON config dir (rules.json /
-    // ioc.json / whitelist.json / ref.json) instead of the parquet tables
+    // ioc.json / whitelist.json / ref.json / mappings.json) instead of the
+    // parquet tables — mappings.json drives the field-mapping conf surface
+    val conf =
+      if (args.length > 2) graft.sources.RuleLoader.confFromDir(spark, args(2))
+      else PipelineConf()
+    val turns = Source.readTable(spark, conf, s"$inDir/transcripts")
     val tables =
       if (args.length > 2) graft.sources.RuleLoader.fromDir(spark, args(2))
       else Source.readRuleTables(spark, conf, inDir)

@@ -88,6 +88,14 @@ class IncrementalSpec extends SparkSuite {
     assert(Set("subject", "category", "severity", "note", "hits", "run_id")
       .subsetOf(cols), s"alert doc missing columns: $cols")
     assert(alerts.filter(col("subject").startsWith("[")).count() === alerts.count())
+    // AlertDocSchema pin: the canonical reader schema must match what run()
+    // actually writes — a silent drift would null-fill columns on read
+    assert(alerts.columns.sorted === Incremental.AlertDocSchema.fieldNames.sorted,
+      "AlertDocSchema drifted from the written alert docs")
+    val readBack = Incremental.readAlerts(spark, stateDir, outDir)
+    assert(readBack.schema === Incremental.AlertDocSchema)
+    assert(readBack.filter(col("category").isNull || col("text").isNull ||
+      col("fp").isNull).count() === 0L, "schema-read must not null-fill data columns")
 
     // crash-consistent reads: alerts of a run WITHOUT a manifest (crashed
     // before completion, never replayed) are invisible via readAlerts

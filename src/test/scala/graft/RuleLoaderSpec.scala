@@ -79,4 +79,53 @@ class RuleLoaderSpec extends SparkSuite {
         WhitelistRule("role", "eq", "system"))).count())
     assert(wlN < parsed.count(), "whitelist must drop fixture ping rows")
   }
+
+  test("mappings.json drives NON-DEFAULT field mappings end-to-end (Spark == RefModel)") {
+    import graft.oracle.RefModel
+    val d = Files.createTempDirectory("graft-mappings")
+    write(d, "mappings.json",
+      """{"fingerprint_fields": ["action", "user", "dst_host"],
+        | "ioc_fields": {"host": "dst_host", "ip": "src_ip"},
+        | "ref_fields": ["uri"],
+        | "tracked_fields": ["src_ip"],
+        | "freq_key": "user"}""".stripMargin)
+    val fx = Gen.fixture(120)
+    val conf = RuleLoader.confFromDir(spark, d.toString, fx.conf)
+    assert(conf.fingerprintFields === Seq("action", "user", "dst_host"))
+    assert(conf.iocKindFields === Seq("host" -> "dst_host", "ip" -> "src_ip"))
+    assert(conf.refFields === Seq("uri"))
+    assert(conf.trackedFields === Seq("src_ip"))
+    assert(conf.freqKey === "user")
+    // conf without a mappings file is untouched
+    assert(RuleLoader.confFromDir(spark,
+      Files.createTempDirectory("graft-nomap").toString, fx.conf) === fx.conf)
+
+    // IOC/ref tables aligned with the REMAPPED fields so every remapped
+    // check actually fires on the fixture
+    val ioc = Seq(IocEntry("host", "host3.corp.example", 30),
+      IocEntry("host", "host7.corp.example", 40)) ++ fx.ioc.filter(_.kind == "ip")
+    val ref = for {
+      role <- Seq("user", "assistant", "tool"); i <- 0 until 10
+    } yield RefEntry(role, "uri", s"/api/v1/r$i")
+    val tb = RuleTables(ioc.toDF(), fx.rules, ref.toDF(), fx.whitelist)
+
+    val enriched = Pipeline.enrich(spark.createDataset(fx.turns).toDF(), tb, conf)
+    val got = enriched.selectExpr("conv_id", "turn_idx", "note", "severity",
+      "routed", "first_seen", "freq_hit",
+      "array_join(transform(hits, h -> concat(h.kind, ':', h.name, ':', h.score)), ';') as hk")
+      .collect().map(r => (r.getString(0), r.getInt(1), r.getInt(2), r.getString(3),
+        r.getBoolean(4), r.getBoolean(5), r.getBoolean(6), r.getString(7)))
+      .sortBy(t => (t._1, t._2)).toSeq
+    val want = RefModel(fx.turns, ioc, fx.rules, ref, fx.whitelist, conf).map { o =>
+      (o.turn.conv_id, o.turn.turn_idx, o.note, o.severity, o.routed,
+        o.firstSeen, o.freqHit,
+        o.hits.map(h => s"${h.kind}:${h.name}:${h.score}").mkString(";"))
+    }.sortBy(t => (t._1, t._2))
+    assert(got.size === want.size, s"rows: got ${got.size} want ${want.size}")
+    got.zip(want).foreach { case (g, w) => assert(g === w) }
+    // the remapped checks must all actually fire
+    val allHits = got.map(_._8).mkString(";")
+    for (h <- Seq("ioc:ioc:host", "ioc:ioc:ip", "ref:ref:uri", "new:new:src_ip"))
+      assert(allHits.contains(h), s"expected remapped hit $h to fire")
+  }
 }
