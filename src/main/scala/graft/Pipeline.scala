@@ -175,6 +175,39 @@ object Pipeline {
   def saltedBySeverity(df: DataFrame, saltBuckets: Int): DataFrame =
     df.repartition(col("severity"), pmod(xxhash64(col("conv_id")), lit(saltBuckets)))
 
+  /** Write-once C9 fan-out for very large batches (SURVEY §2.9 R2 at
+    * 100 TB): [[route]]'s MEMORY_AND_DISK persist of the full-width enriched
+    * set is right for in-memory-sized batches but becomes a 100-TB spill at
+    * target scale. Here `enriched` is written EXACTLY ONCE to
+    * `outDir/enriched` (salted for balanced files), and alerts + rollups are
+    * derived from the WRITTEN table — each derivation is a column-pruned
+    * parquet scan (hits/conv_id for the signature rollup, severity/routed
+    * for the sink rollup), never a second pass over the source or a
+    * full-width cache. Same sink-count contract as [[route]] (RouteSpec pins
+    * equality). The incremental path batches by time range, so the written
+    * table doubles as the queryable enriched archive. */
+  def routeViaTable(spark: SparkSession, enriched: DataFrame, conf: PipelineConf,
+      outDir: String): Map[String, Long] = {
+    saltedBySeverity(enriched, conf.saltBuckets)
+      .write.mode("overwrite").parquet(s"$outDir/enriched")
+    val written = spark.read.parquet(s"$outDir/enriched")
+    saltedBySeverity(alertDocs(written.filter(col("routed"))), conf.saltBuckets)
+      .write.mode("overwrite").partitionBy("severity")
+      .parquet(s"$outDir/alerts_all")
+    rollupBySignature(written).write.mode("overwrite")
+      .parquet(s"$outDir/rollup_signature")
+    rollupBySink(written).write.mode("overwrite")
+      .parquet(s"$outDir/rollup_sink")
+    // per-sink counts from ONE pruned aggregation over the written table
+    // (severity + routed columns only — not an observe over a full pass)
+    val severities = conf.severityBands.map(_._2)
+    val aggs = count(lit(1)).as("n_total") +: severities.map(s =>
+      sum(when(col("routed") && col("severity") === s, 1L).otherwise(0L)).as(s"n_$s"))
+    val m = written.agg(aggs.head, aggs.tail: _*).first()
+    severities.zipWithIndex.map { case (s, i) => s -> m.getLong(i + 1) }.toMap +
+      ("total" -> m.getLong(0))
+  }
+
   /** C9 fan-out: ONE pass over the enriched rows (persist), then K filtered
     * sink writes + alerts_all partitioned by severity (SURVEY §2.9 R2 — never
     * K source re-reads). Returns per-sink counts from `observe` metrics,

@@ -56,6 +56,23 @@ object DataPipeQueries {
   private val MinhashSeeds = 12
   private val BandSize = 4 // → 3 bands of 4 hashes
 
+  /** 8-bit sign-LSH bucket over fixed dims (shared by the ANN queries). */
+  private val SignDims = Seq(1, 9, 17, 25, 33, 41, 49, 57)
+  private def signBucket: Column = concat(SignDims.map(i =>
+    when(element_at(col("embedding"), i) >= 0, "1").otherwise("0")): _*)
+  // single line — embedded in stripMargin templates, so it must not start
+  // lines with '|' (stripMargin would eat half of a '||' concat)
+  private val signBucketSqlD: String = SignDims.map(i =>
+    s"(CASE WHEN embedding[$i] >= 0 THEN '1' ELSE '0' END)").mkString(" || ")
+
+  /** Hamming-1 multi-probe list over a `qb` bucket column: the bucket itself
+    * plus each single-bit flip (9 probes for 8 bits). */
+  private def probesExpr: Column = expr(
+    """transform(sequence(0, 8), i -> CASE WHEN i = 0 THEN qb
+      |  ELSE concat(substring(qb, 1, i - 1),
+      |              CASE WHEN substring(qb, i, 1) = '1' THEN '0' ELSE '1' END,
+      |              substring(qb, i + 1, 8)) END)""".stripMargin)
+
   // stopword dictionaries for the language-ID heuristic
   private val langDicts: Seq[(String, Seq[String])] = Seq(
     "en" -> Seq("the", "and", "of", "to", "a", "fast", "slow"),
@@ -326,6 +343,152 @@ object DataPipeQueries {
           Window.partitionBy("qid").orderBy(desc("c"), asc("nid"))))
         .filter(col("rank") <= 3)
         .select("qid", "rank", "nid").orderBy("qid", "rank")
+    },
+
+    // ---- multi-probe LSH ANN: the query probes its own bucket PLUS all 8
+    // Hamming-1 neighbor buckets (9 probes). Same index as ann_lsh_topk —
+    // multi-probing buys recall at query time without more tables, the
+    // standard fix for sign-LSH's near-hyperplane misses (each probe is a
+    // bucket-equijoin; a neighbor lives in exactly one bucket, so probes
+    // produce no duplicate candidates).
+    Q("ann_lsh_multiprobe",
+      s"""WITH bk AS (
+         |  SELECT vec_id, embedding, $signBucketSqlD AS bucket FROM embeddings),
+         |pr AS (
+         |  SELECT vec_id AS qid, embedding AS qv,
+         |    unnest(list_transform(range(0, 9), i ->
+         |      CASE WHEN i = 0 THEN bucket
+         |           ELSE substr(bucket, 1, i - 1)
+         |             || (CASE WHEN substr(bucket, i, 1) = '1' THEN '0' ELSE '1' END)
+         |             || substr(bucket, i + 1) END)) AS probe
+         |  FROM bk WHERE vec_id < 20),
+         |sc AS (
+         |  SELECT pr.qid, e.vec_id AS nid,
+         |    round(list_cosine_similarity(pr.qv, e.embedding), 6) AS c
+         |  FROM pr JOIN bk e ON e.bucket = pr.probe AND e.vec_id != pr.qid),
+         |rk AS (SELECT qid, nid,
+         |    row_number() OVER (PARTITION BY qid ORDER BY c DESC, nid) AS rank FROM sc)
+         |SELECT qid, rank, nid FROM rk WHERE rank <= 3 ORDER BY qid, rank""".stripMargin) { (s, d) =>
+      import graft.functions.ArrayDot
+      val e = embs(s, d).select(col("vec_id"), col("embedding").as("v"),
+        signBucket.as("bucket"))
+        .withColumn("nrm", sqrt(ArrayDot.dot(col("v"), col("v"))))
+      val q = e.filter(col("vec_id") < 20)
+        .select(col("vec_id").as("qid"), col("v").as("qv"), col("nrm").as("qn"),
+          col("bucket").as("qb"))
+        .withColumn("probe", explode(probesExpr))
+      val n = e.select(col("vec_id").as("nid"), col("v").as("nv"),
+        col("nrm").as("nn"), col("bucket").as("nb"))
+      q.join(n, col("nb") === col("probe") && col("nid") =!= col("qid"))
+        .withColumn("c", round(ArrayDot.dot(col("qv"), col("nv")) / (col("qn") * col("nn")), 6))
+        .withColumn("rank", row_number().over(
+          Window.partitionBy("qid").orderBy(desc("c"), asc("nid"))))
+        .filter(col("rank") <= 3)
+        .select("qid", "rank", "nid").orderBy("qid", "rank")
+    },
+
+    // ---- ANN recall measurement, itself a cross-engine differential:
+    // recall@10 of each approximate method (single-probe LSH, 9-probe LSH,
+    // IVF nprobe=2) against brute-force ground truth for 20 queries —
+    // recall_bp = hits·10000/(10·20). The floor is pinned in AnnSpec and
+    // quoted in BENCH.md.
+    Q("ann_recall",
+      s"""WITH e AS (
+         |  SELECT vec_id, embedding, $signBucketSqlD AS bucket FROM embeddings),
+         |q AS (SELECT vec_id AS qid, embedding AS qv, bucket AS qb FROM e WHERE vec_id < 20),
+         |truth AS (
+         |  SELECT qid, nid FROM (
+         |    SELECT q.qid, e.vec_id AS nid, row_number() OVER (PARTITION BY q.qid
+         |      ORDER BY round(list_cosine_similarity(q.qv, e.embedding), 6) DESC, e.vec_id) AS rk
+         |    FROM q, e WHERE e.vec_id != q.qid) WHERE rk <= 10),
+         |lsh1 AS (
+         |  SELECT qid, nid FROM (
+         |    SELECT q.qid, e.vec_id AS nid, row_number() OVER (PARTITION BY q.qid
+         |      ORDER BY round(list_cosine_similarity(q.qv, e.embedding), 6) DESC, e.vec_id) AS rk
+         |    FROM q JOIN e ON e.bucket = q.qb AND e.vec_id != q.qid) WHERE rk <= 10),
+         |pr AS (
+         |  SELECT qid, qv, unnest(list_transform(range(0, 9), i ->
+         |    CASE WHEN i = 0 THEN qb
+         |         ELSE substr(qb, 1, i - 1)
+         |           || (CASE WHEN substr(qb, i, 1) = '1' THEN '0' ELSE '1' END)
+         |           || substr(qb, i + 1) END)) AS probe
+         |  FROM q),
+         |mp AS (
+         |  SELECT qid, nid FROM (
+         |    SELECT pr.qid, e.vec_id AS nid, row_number() OVER (PARTITION BY pr.qid
+         |      ORDER BY round(list_cosine_similarity(pr.qv, e.embedding), 6) DESC, e.vec_id) AS rk
+         |    FROM pr JOIN e ON e.bucket = pr.probe AND e.vec_id != pr.qid) WHERE rk <= 10),
+         |c AS (SELECT vec_id AS cid, embedding AS cv FROM embeddings WHERE vec_id < 16),
+         |asg AS (SELECT vec_id, cid FROM (
+         |    SELECT e.vec_id, c.cid, row_number() OVER (PARTITION BY e.vec_id
+         |      ORDER BY round(list_cosine_similarity(e.embedding, c.cv), 6) DESC, c.cid) AS rk
+         |    FROM embeddings e, c) WHERE rk = 1),
+         |ipr AS (SELECT qid, cid FROM (
+         |    SELECT q.qid, c.cid, row_number() OVER (PARTITION BY q.qid
+         |      ORDER BY round(list_cosine_similarity(q.qv, c.cv), 6) DESC, c.cid) AS rk
+         |    FROM q, c) WHERE rk <= 2),
+         |ivf AS (
+         |  SELECT qid, nid FROM (
+         |    SELECT x.qid, x.nid, row_number() OVER (PARTITION BY x.qid
+         |      ORDER BY x.cs DESC, x.nid) AS rk
+         |    FROM (SELECT DISTINCT p.qid, a.vec_id AS nid,
+         |            round(list_cosine_similarity(q2.qv, e2.embedding), 6) AS cs
+         |          FROM ipr p JOIN asg a ON p.cid = a.cid AND a.vec_id != p.qid
+         |          JOIN q q2 ON q2.qid = p.qid
+         |          JOIN e e2 ON e2.vec_id = a.vec_id) x) WHERE rk <= 10),
+         |h AS (
+         |  SELECT 'ivf' AS method, count(*) AS hits FROM ivf JOIN truth USING (qid, nid)
+         |  UNION ALL SELECT 'lsh1', count(*) FROM lsh1 JOIN truth USING (qid, nid)
+         |  UNION ALL SELECT 'lsh_mp', count(*) FROM mp JOIN truth USING (qid, nid))
+         |SELECT method, hits, CAST(hits * 50 AS INT) AS recall_bp FROM h
+         |ORDER BY method""".stripMargin) { (s, d) =>
+      import graft.functions.ArrayDot
+      val e = cycle(embs(s, d).select(col("vec_id"), col("embedding").as("v"),
+        signBucket.as("bucket"))
+        .withColumn("nrm", sqrt(ArrayDot.dot(col("v"), col("v")))))
+      val q = e.filter(col("vec_id") < 20)
+        .select(col("vec_id").as("qid"), col("v").as("qv"), col("nrm").as("qn"),
+          col("bucket").as("qb"))
+      val n = e.select(col("vec_id").as("nid"), col("v").as("nv"),
+        col("nrm").as("nn"), col("bucket").as("nb"))
+      def cosQ = round(ArrayDot.dot(col("qv"), col("nv")) / (col("qn") * col("nn")), 6)
+      def top10(df: DataFrame): DataFrame = df.withColumn("c", cosQ)
+        .withColumn("rk", row_number().over(
+          Window.partitionBy("qid").orderBy(desc("c"), asc("nid"))))
+        .filter(col("rk") <= 10).select("qid", "nid")
+      val truth = QueryCache.retain(top10(q.join(n, col("nid") =!= col("qid"))))
+      val lsh1 = top10(q.join(n, col("nb") === col("qb") && col("nid") =!= col("qid")))
+      val mp = top10(q.withColumn("probe", explode(probesExpr))
+        .join(n, col("nb") === col("probe") && col("nid") =!= col("qid")))
+      // IVF, same codebook/probing as ann_ivf_topk but k=10 over the 20 queries
+      val cents = e.filter(col("vec_id") < 16)
+        .select(col("vec_id").as("cid"), col("v").as("cv"), col("nrm").as("cn"))
+      def nearestC(src: DataFrame, k: Int): DataFrame = src
+        .crossJoin(broadcast(cents))
+        .withColumn("cs", round(ArrayDot.dot(col("v"), col("cv"))
+          / (col("nrm") * col("cn")), 6))
+        .withColumn("rk", row_number().over(
+          Window.partitionBy("vec_id").orderBy(desc("cs"), asc("cid"))))
+        .filter(col("rk") <= k)
+      val asg = nearestC(e, 1).select(col("vec_id").as("nid"), col("cid"),
+        col("v").as("nv"), col("nrm").as("nn"))
+      val ipr = nearestC(e.filter(col("vec_id") < 20), 2)
+        .select(col("vec_id").as("qid"), col("cid"),
+          col("v").as("qv"), col("nrm").as("qn"))
+      val ivf = ipr.join(asg, Seq("cid")).filter(col("nid") =!= col("qid"))
+        .select("qid", "nid", "qv", "qn", "nv", "nn").distinct()
+        .withColumn("c", cosQ)
+        .withColumn("rk", row_number().over(
+          Window.partitionBy("qid").orderBy(desc("c"), asc("nid"))))
+        .filter(col("rk") <= 10).select("qid", "nid")
+      def hitRow(m: String, cand: DataFrame): DataFrame =
+        cand.join(truth, Seq("qid", "nid"))
+          .agg(count(lit(1)).as("hits"))
+          .select(lit(m).as("method"), col("hits"),
+            (col("hits") * 50).cast("int").as("recall_bp"))
+      hitRow("ivf", ivf).unionByName(hitRow("lsh1", lsh1))
+        .unionByName(hitRow("lsh_mp", mp))
+        .orderBy("method")
     },
 
     // ---- IVF ANN (scale path #2): coarse quantizer = 16 deterministic

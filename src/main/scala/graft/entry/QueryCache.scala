@@ -10,13 +10,22 @@ import org.apache.spark.sql.DataFrame
   * sequentially, so at most one query's cache is ever live (same pattern as
   * Pipeline.enrichManaged). */
 private[entry] object QueryCache {
-  private val handle =
-    new java.util.concurrent.atomic.AtomicReference[Option[DataFrame]](None)
+  private val handles =
+    new java.util.concurrent.atomic.AtomicReference[List[DataFrame]](Nil)
 
+  /** Release every cache of the PREVIOUS query, persist df for this one. */
   def cycle(df: DataFrame): DataFrame = {
-    handle.getAndSet(None).foreach(_.unpersist())
+    handles.getAndSet(Nil).foreach(_.unpersist())
     val cached = df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    handle.set(Some(cached))
+    handles.set(List(cached))
+    cached
+  }
+
+  /** Persist an ADDITIONAL subtree of the SAME query (released together with
+    * it on the next cycle). Call only after this query's cycle(). */
+  def retain(df: DataFrame): DataFrame = {
+    val cached = df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    handles.updateAndGet(cached :: _)
     cached
   }
 }

@@ -30,7 +30,7 @@ object StreamPipeline {
       watermarkDelay: String = "10 minutes"): DataFrame = {
     val parsed = Parse(turns, conf)
       .withWatermark("ts", watermarkDelay)
-      .withColumn("fp", sha2(col("text"), 256))
+      .withColumn("fp", Dedup.fpExpr(conf))
       .dropDuplicatesWithinWatermark("fp")
     val survivors = Whitelist(parsed, tables.whitelist)
     val enriched = RefCheck(
@@ -135,6 +135,47 @@ object StreamPipeline {
       .agg(count(lit(1)).as("n"))
       .filter(col("n") >= conf.freqThreshold)
       .select(col("key"), col("window.start").as("win_start"), col("n"))
+
+  /** THE composed end-to-end streaming pipeline: ONE readStream →
+    * foreachBatch, where each micro-batch runs the full C1→C9 chain through
+    * [[graft.Incremental.run]] with cross-batch state — so the streaming
+    * surface has the batch pipeline's EXACT semantics (fp-dedup, first-seen,
+    * trailing-window frequency, scoring, routed fan-out, manifests +
+    * lineage), not the piecewise watermark approximations above. foreachBatch
+    * is Spark's own seam for multi-sink fan-out + complex multi-keyed state;
+    * the alternative (chaining flatMapGroupsWithState per state kind and
+    * stream-stream-joining the flags back) is an unsupported operator
+    * combination for this shape in append mode.
+    *
+    * Contract (same as graft.Incremental): micro-batches arrive in
+    * ascending, non-overlapping event-time ranges — a file source over
+    * time-partitioned files with maxFilesPerTrigger, or a time-ordered
+    * topic. Exactly-once: the run id is the micro-batch id; a batch replayed
+    * after a crash that landed its manifest is SKIPPED (manifest = commit
+    * marker), and a batch replayed after a crash mid-run overwrites its own
+    * alert partitions (dynamic partition overwrite). Returns the run ids
+    * executed. */
+  def runFull(spark: SparkSession, turnsStream: DataFrame, tables: RuleTables,
+      conf: PipelineConf, stateDir: String, outDir: String,
+      checkpointDir: String): Seq[String] = {
+    val ran = scala.collection.mutable.ArrayBuffer.empty[String]
+    val q = turnsStream.writeStream
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", checkpointDir)
+      .outputMode(OutputMode.Append)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val runId = f"$batchId%06d"
+        if (!graft.Incremental.completedRuns(stateDir).contains(runId)) {
+          graft.Incremental.run(spark, batch, tables, conf, stateDir, outDir, runId)
+          ran += runId
+        }
+        ()
+      }
+      .start()
+    q.processAllAvailable()
+    q.stop()
+    ran.toSeq
+  }
 
   /** Fan-out sink: one foreachBatch pass writes all per-severity sinks
     * (streaming can't natively multi-sink one query — SURVEY §2.8). */

@@ -162,6 +162,62 @@ class StreamingSpec extends SparkSuite {
     assert(mustRoute.subsetOf(rows.map(_._1).toSet))
     assert(mustRoute.nonEmpty, "fixture must contain always-routing fingerprints")
   }
+
+  test("composed end-to-end stream (ONE readStream → C1→C9 per micro-batch with state) == batch pipeline EXACTLY") {
+    // three time-ordered files → three ascending micro-batches (the
+    // Incremental contract); distinct mtimes pin FileStreamSource order
+    val base = Files.createTempDirectory("graft-e2e-in").toString
+    val sorted = fx.turns.sortBy(t => (t.ts.getTime, t.conv_id, t.turn_idx))
+    val n = sorted.size
+    val parts = Seq(sorted.slice(0, n / 3), sorted.slice(n / 3, 2 * n / 3),
+      sorted.slice(2 * n / 3, n))
+    parts.zipWithIndex.foreach { case (p, i) =>
+      val tmp = Files.createTempDirectory("graft-e2e-part").toString
+      spark.createDataset(p).toDF().coalesce(1).write.mode("overwrite").parquet(tmp)
+      val src = new java.io.File(tmp).listFiles()
+        .filter(_.getName.endsWith(".parquet")).head
+      val dst = java.nio.file.Paths.get(base, f"part-$i%03d.parquet")
+      Files.move(src.toPath, dst)
+      Files.setLastModifiedTime(dst,
+        java.nio.file.attribute.FileTime.fromMillis(1700000000000L + i * 60000L))
+      ()
+    }
+    val stream = spark.readStream
+      .schema(spark.read.parquet(base).schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(base)
+    val stateDir = Files.createTempDirectory("graft-e2e-state").toString
+    val outDir = Files.createTempDirectory("graft-e2e-out").toString
+    val ckpt = Files.createTempDirectory("graft-e2e-ckpt").toString
+    val ran = StreamPipeline.runFull(spark, stream, tb, fx.conf,
+      stateDir, outDir, ckpt)
+    assert(ran.size === 3, s"expected 3 micro-batches, ran $ran")
+
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getString(0), r.getInt(1), r.getInt(2), r.getString(3), r.getString(4))
+    val got = Incremental.readAlerts(spark, stateDir, outDir)
+      .select("conv_id", "turn_idx", "note", "severity", "category")
+      .collect().map(key).sortBy(t => (t._1, t._2)).toSeq
+    val want = Pipeline.alertDocs(
+      Pipeline.enrich(spark.createDataset(fx.turns).toDF(), tb, fx.conf)
+        .filter(col("routed")))
+      .select("conv_id", "turn_idx", "note", "severity", "category")
+      .collect().map(key).sortBy(t => (t._1, t._2)).toSeq
+    assert(got.nonEmpty && got === want)
+
+    // restart idempotency: replaying the stream from a fresh checkpoint must
+    // skip every manifested batch (manifest = commit marker), changing nothing
+    val stream2 = spark.readStream
+      .schema(spark.read.parquet(base).schema)
+      .option("maxFilesPerTrigger", "1").parquet(base)
+    val ran2 = StreamPipeline.runFull(spark, stream2, tb, fx.conf,
+      stateDir, outDir, Files.createTempDirectory("graft-e2e-ckpt2").toString)
+    assert(ran2.isEmpty, s"replayed batches must be skipped, ran $ran2")
+    val got2 = Incremental.readAlerts(spark, stateDir, outDir)
+      .select("conv_id", "turn_idx", "note", "severity", "category")
+      .collect().map(key).sortBy(t => (t._1, t._2)).toSeq
+    assert(got2 === want)
+  }
 }
 
 /** Exposes the parse step on a streaming DF for the targeted C6/C7 tests. */
