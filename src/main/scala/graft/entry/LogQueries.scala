@@ -389,17 +389,25 @@ scored AS (
         |    + CAST(split_part(src_ip, '.', 4) AS BIGINT) AS ipn
         |  FROM parsed WHERE parse_ok)
         |GROUP BY 1 ORDER BY region""".stripMargin)) { (s, d) =>
-      // geoip-style enrichment (SURVEY P16): broadcast RANGE join of the ip
-      // integer into /8 blocks — the lookup-table form of the maxmind probe
+      // geoip-style enrichment (SURVEY P16): BUCKETED broadcast range join —
+      // each (lo, hi) range explodes into the /8 buckets it covers (dim stays
+      // broadcast-small), probe equi-joins on its bucket (BroadcastHashJoin,
+      // not a nested-loop range scan — 256× less comparison work at any
+      // scale), and a residual BETWEEN filter keeps exactness for ranges
+      // that are not bucket-aligned. The canonical 100-TB range-join shape.
       import s.implicits._
       val geo = broadcast((0 until 256).map(b =>
         (b.toLong * 16777216L, (b + 1).toLong * 16777216L - 1, s"r${b % 10}"))
-        .toDF("lo", "hi", "region"))
+        .toDF("lo", "hi", "region")
+        .withColumn("bucket", explode(sequence(
+          floor(col("lo") / 16777216L), floor(col("hi") / 16777216L)))))
       val part = (i: Int) => element_at(split(col("src_ip"), "\\."), i).cast("long")
       P(s, d).filter(col("parse_ok"))
         .withColumn("ipn",
           part(1) * 16777216L + part(2) * 65536L + part(3) * 256L + part(4))
-        .join(geo, col("ipn").between(col("lo"), col("hi")))
+        .withColumn("bucket", floor(col("ipn") / 16777216L))
+        .join(geo, Seq("bucket"))
+        .filter(col("ipn").between(col("lo"), col("hi")))
         .groupBy("region").agg(count(lit(1)).as("n"))
         .orderBy("region")
     },
@@ -471,6 +479,68 @@ scored AS (
       Elapsed(P(s, d), "conv_id",
         col("action") === "click", col("action") === "purchase", 2592000L)
         .orderBy("conv_id")
+    },
+
+    // P21: Logstash `urldecode` filter — Spark's generic url_decode vs the
+    // known decoding of the synthesized escapes (%2F, %20). Narrow, codegen'd.
+    Q("p21_urldecode", sqlP(
+      """SELECT conv_id, turn_idx, encoded,
+        |  replace(replace(encoded, '%2F', '/'), '%20', ' ') AS decoded
+        |FROM (SELECT conv_id, turn_idx, replace(uri, '/', '%2F') || '%20v' AS encoded
+        |      FROM parsed WHERE parse_ok)
+        |ORDER BY conv_id, turn_idx""".stripMargin)) { (s, d) =>
+      P(s, d).filter(col("parse_ok"))
+        .withColumn("encoded",
+          concat(regexp_replace(col("uri"), "/", "%2F"), lit("%20v")))
+        .select(col("conv_id"), col("turn_idx"), col("encoded"),
+          url_decode(col("encoded")).as("decoded"))
+        .orderBy("conv_id", "turn_idx")
+    },
+
+    // P22: Logstash `xml` filter — from_xml (Spark 4 native) parses a
+    // synthesized per-event XML doc into typed fields; the oracle extracts
+    // the same fields with regexes (DuckDB has no XML reader).
+    Q("p22_xml", sqlP(
+      """SELECT conv_id, turn_idx,
+        |  regexp_extract(x, '<a>([^<]*)</a>', 1) AS xa,
+        |  CAST(regexp_extract(x, '<s>([0-9]+)</s>', 1) AS INT) AS xs,
+        |  regexp_extract(x, '<u>([^<]*)</u>', 1) AS xu
+        |FROM (SELECT conv_id, turn_idx,
+        |        '<e><a>' || action || '</a><s>' || CAST(status AS VARCHAR)
+        |          || '</s><u>' || uri || '</u></e>' AS x
+        |      FROM parsed WHERE parse_ok)
+        |ORDER BY conv_id, turn_idx""".stripMargin)) { (s, d) =>
+      val xmlSchema = org.apache.spark.sql.types.StructType.fromDDL(
+        "a string, s int, u string")
+      P(s, d).filter(col("parse_ok"))
+        .withColumn("x", concat(lit("<e><a>"), col("action"), lit("</a><s>"),
+          col("status").cast("string"), lit("</s><u>"), col("uri"), lit("</u></e>")))
+        .withColumn("p", from_xml(col("x"), xmlSchema))
+        .select(col("conv_id"), col("turn_idx"),
+          col("p.a").as("xa"), col("p.s").as("xs"), col("p.u").as("xu"))
+        .orderBy("conv_id", "turn_idx")
+    },
+
+    // P23: Logstash `dns` filter (reverse lookup) as a broadcast lookup join
+    // against a resolver dim table — the relational form of the resolver
+    // cache, same join shape as P16 geoip.
+    Q("p23_dns", {
+      val vals = (1 to 80)
+        .map(i => s"('203.0.113.$i','testnet-$i.rev.example')").mkString(", ")
+      sqlP(
+        s"""SELECT conv_id, turn_idx, coalesce(d.host, 'unresolved') AS rev_host
+           |FROM parsed LEFT JOIN (VALUES $vals) d(ip, host)
+           |  ON parsed.src_ip = d.ip
+           |WHERE parse_ok ORDER BY conv_id, turn_idx""".stripMargin)
+    }) { (s, d) =>
+      import s.implicits._
+      val dim = broadcast((1 to 80)
+        .map(i => (s"203.0.113.$i", s"testnet-$i.rev.example")).toDF("ip", "host"))
+      P(s, d).filter(col("parse_ok"))
+        .join(dim, col("src_ip") === col("ip"), "left_outer")
+        .select(col("conv_id"), col("turn_idx"),
+          coalesce(col("host"), lit("unresolved")).as("rev_host"))
+        .orderBy("conv_id", "turn_idx")
     },
 
     Q("agg_udaf_stats", sqlP(
