@@ -1,6 +1,6 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, Trigger}
 
@@ -122,6 +122,70 @@ object StreamPipeline {
               fired.toSeq.filter(_ >= Math.floorDiv(maxSec, reset)).sorted))
           }
           out.iterator
+        })
+  }
+
+  final case class ElapsedEv(key: String, ts_us: Long, ts_sec: Long,
+      start: Boolean, end: Boolean, ts: java.sql.Timestamp)
+  /** Per-key elapsed state: the first start (-1 = none yet) and whether the
+    * transaction already resolved (matched or expired) — one small record
+    * per key, same bound as the batch operator's state table. */
+  final case class ElapsedSt(sUs: Long, sSec: Long, done: Boolean)
+  final case class ElapsedOut(key: String, start_sec: Long,
+      end_sec: Option[Long], elapsed_sec: Option[Long], status: String)
+
+  /** P20 elapsed, streaming twin: flatMapGroupsWithState with EVENT-TIME
+    * timeout. A matched/too-late end resolves the transaction inline; a
+    * start whose end never arrives expires when the watermark passes
+    * start + timeout. Same one-transaction-per-key semantics as
+    * [[graft.operators.Elapsed]] (resolved keys stay done). Trailing
+    * caveat (ElapsedSpec): timeouts pending when the stream stops have not
+    * fired yet — streaming `expired` is a prefix of the batch answer, while
+    * `matched` agrees exactly. */
+  def elapsedStream(parsed: DataFrame, key: String, isStart: Column,
+      isEnd: Column, timeoutSec: Long): Dataset[ElapsedOut] = {
+    val spark = parsed.sparkSession
+    import spark.implicits._
+    // ts (the watermark column) must survive UNTOUCHED into the grouped
+    // Dataset — event-time timeout requires the watermark attribute in the
+    // child plan, and any cast/alias on it strips the event-time metadata
+    val evs = parsed.withColumn("ts", col("ts").cast("timestamp"))
+      .filter(isStart || isEnd)
+      .withWatermark("ts", "0 seconds")
+      .select(col(key).cast("string").as("key"), col("ts_us"), col("ts_sec"),
+        isStart.as("start"), isEnd.as("end"), col("ts"))
+      .as[ElapsedEv]
+    evs.groupByKey(_.key)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(
+        (k: String, it: Iterator[ElapsedEv], state: GroupState[ElapsedSt]) => {
+          if (state.hasTimedOut) {
+            val st = state.get
+            if (st.done) Iterator.empty
+            else {
+              state.update(st.copy(done = true)) // keep: later starts must not re-pair
+              Iterator.single(ElapsedOut(k, st.sSec, None, None, "expired"))
+            }
+          } else {
+            val sorted = it.toArray.sortBy(e => (e.ts_us, e.ts_sec))
+            var st = state.getOption.getOrElse(ElapsedSt(-1L, -1L, done = false))
+            val out = scala.collection.mutable.ArrayBuffer.empty[ElapsedOut]
+            for (e <- sorted if !st.done) {
+              if (st.sUs < 0 && e.start) st = ElapsedSt(e.ts_us, e.ts_sec, done = false)
+              else if (st.sUs >= 0 && e.end && e.ts_us >= st.sUs) {
+                if (e.ts_us - st.sUs <= timeoutSec * 1000000L)
+                  out += ElapsedOut(k, st.sSec, Some(e.ts_sec),
+                    Some(e.ts_sec - st.sSec), "matched")
+                else out += ElapsedOut(k, st.sSec, None, None, "expired")
+                st = st.copy(done = true)
+              }
+            }
+            if (st.sUs >= 0) {
+              state.update(st)
+              if (!st.done)
+                state.setTimeoutTimestamp(st.sUs / 1000L + timeoutSec * 1000L)
+            }
+            out.iterator
+          }
         })
   }
 

@@ -71,4 +71,59 @@ class ElapsedSpec extends SparkSuite {
     val healed = single.filter(r => aKeys(r._1) && r._5 == "matched")
     assert(healed.nonEmpty, "no cross-boundary transaction in fixture split")
   }
+
+  test("streaming twin (FMGWS, event-time timeout): matched == batch exactly, expired is a prefix") {
+    import java.nio.file.Files
+    import org.apache.spark.sql.streaming.Trigger
+    import graft.streaming.StreamPipeline
+    import spark.implicits._
+
+    val fx = Gen.fixture(150)
+    // three ascending-time files → ascending micro-batches (same contract as
+    // the composed pipeline stream); distinct mtimes pin source order
+    val base = Files.createTempDirectory("graft-elapsed-in").toString
+    val sorted = fx.turns.sortBy(t => (t.ts.getTime, t.conv_id, t.turn_idx))
+    val n = sorted.size
+    Seq(sorted.slice(0, n / 3), sorted.slice(n / 3, 2 * n / 3), sorted.slice(2 * n / 3, n))
+      .zipWithIndex.foreach { case (p, i) =>
+        val tmp = Files.createTempDirectory("graft-elapsed-part").toString
+        spark.createDataset(p).toDF().coalesce(1).write.mode("overwrite").parquet(tmp)
+        val src = new java.io.File(tmp).listFiles()
+          .filter(_.getName.endsWith(".parquet")).head
+        val dst = java.nio.file.Paths.get(base, f"part-$i%03d.parquet")
+        Files.move(src.toPath, dst)
+        Files.setLastModifiedTime(dst,
+          java.nio.file.attribute.FileTime.fromMillis(1700000000000L + i * 60000L))
+        ()
+      }
+    val stream = spark.readStream
+      .schema(spark.read.parquet(base).schema)
+      .option("maxFilesPerTrigger", "1").parquet(base)
+    // 10-min timeout: the fixture spans ~100 minutes, so both resolution
+    // paths (late end inline, no-end via event-time timeout once a later
+    // file advances the watermark) actually occur in-stream
+    val streamTimeout = 600L
+    val out = StreamPipeline.elapsedStream(Parse(stream, fx.conf), "conv_id",
+      col("action") === "login", col("action") === "upload", streamTimeout)
+    val q = out.writeStream.outputMode("append").format("memory")
+      .queryName("elap").trigger(Trigger.AvailableNow()).start()
+    q.processAllAvailable(); q.stop()
+
+    val got = spark.table("elap").collect().map(r => (r.getString(0), r.getLong(1),
+      if (r.isNullAt(2)) -1L else r.getLong(2),
+      if (r.isNullAt(3)) -1L else r.getLong(3), r.getString(4))).toSeq
+    assert(got.map(_._1).distinct.size === got.size, "one resolution per key")
+    val batch = rows(Elapsed(Parse(spark.createDataset(fx.turns).toDF(), fx.conf),
+      "conv_id", col("action") === "login", col("action") === "upload", streamTimeout))
+    val batchMatched = batch.filter(_._5 == "matched").toSet
+    val batchExpired = batch.filter(_._5 == "expired").toSet
+    val gotMatched = got.filter(_._5 == "matched").toSet
+    val gotExpired = got.filter(_._5 == "expired").toSet
+    assert(gotMatched === batchMatched)
+    // expired: the stream can only have resolved what its final watermark
+    // reached (trailing timeouts fire on the NEXT data) — prefix, not equal
+    assert(gotExpired.subsetOf(batchExpired), s"extra expired: ${gotExpired -- batchExpired}")
+    assert(gotMatched.nonEmpty && gotExpired.nonEmpty,
+      "fixture must exercise both resolutions through the stream")
+  }
 }
