@@ -73,7 +73,13 @@ object RuleLoader {
     *                 "ioc_fields": {"ip": "src_ip", "domain": "dst_host"},
     *                 "ref_fields": ["action"],
     *                 "tracked_fields": ["user"],
-    *                 "freq_key": "conv_id"}
+    *                 "freq_key": "conv_id",
+    *                 "freq_window_sec": 60, "freq_threshold": 5,
+    *                 "freq_reset_sec": 60, "dedup_delay_sec": 300,
+    *                 "fir_threshold": 50,
+    *                 "new_value_score": 15, "freq_score": 20, "ref_score": 10,
+    *                 "severity_bands": [{"min": 0, "name": "low"},
+    *                                    {"min": 50, "name": "high"}]}
     * }}}
     *
     * Missing file or missing key ⇒ the base conf's value is kept. */
@@ -86,11 +92,28 @@ object RuleLoader {
       StructField("ioc_fields", MapType(StringType, StringType)),
       StructField("ref_fields", ArrayType(StringType)),
       StructField("tracked_fields", ArrayType(StringType)),
-      StructField("freq_key", StringType)))
+      StructField("freq_key", StringType),
+      StructField("freq_window_sec", LongType),
+      StructField("freq_threshold", IntegerType),
+      StructField("freq_reset_sec", LongType),
+      StructField("dedup_delay_sec", LongType),
+      StructField("fir_threshold", IntegerType),
+      StructField("new_value_score", IntegerType),
+      StructField("freq_score", IntegerType),
+      StructField("ref_score", IntegerType),
+      StructField("severity_bands", ArrayType(StructType(Seq(
+        StructField("min", IntegerType), StructField("name", StringType)))))))
     val row = spark.read.schema(schema).option("multiLine", "true")
       .json(path).head()
     def arr(i: Int, dflt: Seq[String]): Seq[String] =
       if (row.isNullAt(i)) dflt else row.getSeq[String](i)
+    def lng(i: Int, dflt: Long): Long = if (row.isNullAt(i)) dflt else row.getLong(i)
+    def int(i: Int, dflt: Int): Int = if (row.isNullAt(i)) dflt else row.getInt(i)
+    val bands =
+      if (row.isNullAt(13)) base.severityBands
+      else row.getSeq[org.apache.spark.sql.Row](13)
+        .map(b => b.getInt(0) -> b.getString(1)).sortBy(_._1)
+    require(bands.nonEmpty, s"$path: severity_bands must not be empty")
     base.copy(
       fingerprintFields = arr(0, base.fingerprintFields),
       iocKindFields =
@@ -98,7 +121,16 @@ object RuleLoader {
         else row.getMap[String, String](1).toSeq.sortBy(_._1),
       refFields = arr(2, base.refFields),
       trackedFields = arr(3, base.trackedFields),
-      freqKey = if (row.isNullAt(4)) base.freqKey else row.getString(4))
+      freqKey = if (row.isNullAt(4)) base.freqKey else row.getString(4),
+      freqWindowSec = lng(5, base.freqWindowSec),
+      freqThreshold = int(6, base.freqThreshold),
+      freqResetSec = lng(7, base.freqResetSec),
+      dedupDelaySec = lng(8, base.dedupDelaySec),
+      firThreshold = int(9, base.firThreshold),
+      newValueScore = int(10, base.newValueScore),
+      freqScore = int(11, base.freqScore),
+      refScore = int(12, base.refScore),
+      severityBands = bands)
   }
 
   /** Conf for a config dir: `base` + the dir's mappings.json (if present). */

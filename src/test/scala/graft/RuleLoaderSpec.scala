@@ -88,7 +88,9 @@ class RuleLoaderSpec extends SparkSuite {
         | "ioc_fields": {"host": "dst_host", "ip": "src_ip"},
         | "ref_fields": ["uri"],
         | "tracked_fields": ["src_ip"],
-        | "freq_key": "user"}""".stripMargin)
+        | "freq_key": "user",
+        | "freq_threshold": 7, "fir_threshold": 45, "ref_score": 12,
+        | "severity_bands": [{"min": 0, "name": "info"}, {"min": 45, "name": "alert"}]}""".stripMargin)
     val fx = Gen.fixture(120)
     val conf = RuleLoader.confFromDir(spark, d.toString, fx.conf)
     assert(conf.fingerprintFields === Seq("action", "user", "dst_host"))
@@ -96,6 +98,9 @@ class RuleLoaderSpec extends SparkSuite {
     assert(conf.refFields === Seq("uri"))
     assert(conf.trackedFields === Seq("src_ip"))
     assert(conf.freqKey === "user")
+    assert(conf.freqThreshold === 7 && conf.firThreshold === 45 && conf.refScore === 12)
+    assert(conf.severityBands === Seq(0 -> "info", 45 -> "alert"))
+    assert(conf.freqWindowSec === fx.conf.freqWindowSec, "unset keys keep base values")
     // conf without a mappings file is untouched
     assert(RuleLoader.confFromDir(spark,
       Files.createTempDirectory("graft-nomap").toString, fx.conf) === fx.conf)
