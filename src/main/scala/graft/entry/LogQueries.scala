@@ -53,6 +53,9 @@ object LogQueries {
   private def sqlFull(body: String): String =
     s"WITH ${TestdataAdapter.turnsCte},\n$parsedCte,\n${TestdataTables.iocCte},\n" +
       s"${TestdataTables.refCte},\n$enrichedCtes\n$body"
+  private def sqlFullFor(conf: PipelineConf)(body: String): String =
+    s"WITH ${TestdataAdapter.turnsCte},\n$parsedCte,\n${TestdataTables.iocCte},\n" +
+      s"${TestdataTables.refCte},\n${enrichedCtesFor(conf)}\n$body"
 
   /** DuckDB rendering of one rule clause — mirror of ClauseCompiler. */
   private def clauseSql(field: String, op: String, arg: String): String = {
@@ -78,10 +81,17 @@ object LogQueries {
     s"(CASE WHEN ${rulePredSql(cl)} THEN ${cl.map(_.score).sum} ELSE 0 END)"
   }.mkString(" + ")
 
+  /** DuckDB rendering of Scoring.severityExpr: highest band floor ≤ note. */
+  private def severityCaseSql(conf: PipelineConf): String =
+    conf.severityBands.sortBy(-_._1).init
+      .map { case (minNote, name) => s"WHEN note >= $minNote THEN '$name'" }
+      .mkString("CASE ", " ", s" ELSE '${conf.severityBands.head._2}' END")
+
   /** The whole C1→C8 chain in DuckDB — the cross-engine differential of the
     * full pipeline (dedup → whitelist → ioc/sig/ref → first-seen → freq →
-    * score/severity). Mirrors Pipeline.enrich with [[tconf]]. */
-  private val enrichedCtes: String = s"""dd AS (
+    * score/severity). Mirrors Pipeline.enrich with the given conf (same
+    * fixture field mappings; thresholds/scores/bands parameterized). */
+  private def enrichedCtesFor(tconf: PipelineConf): String = s"""dd AS (
   SELECT * FROM (
     SELECT p.*, row_number() OVER (PARTITION BY text, ts_sec // ${tconf.dedupDelaySec}
       ORDER BY ts, conv_id, turn_idx) AS _rn FROM parsed p) WHERE _rn = 1
@@ -129,11 +139,40 @@ sev AS (
 ),
 scored AS (
   SELECT conv_id, turn_idx, note,
-    CASE WHEN note >= 100 THEN 'critical' WHEN note >= 50 THEN 'high'
-         WHEN note >= 20 THEN 'medium' ELSE 'low' END AS severity,
+    ${severityCaseSql(tconf)} AS severity,
     note >= ${tconf.firThreshold} AS routed
   FROM sev
 )"""
+
+  private val enrichedCtes: String = enrichedCtesFor(tconf)
+
+  /** P24 fixture UAs — one per family/os/device combination the parser
+    * distinguishes, picked per turn by `turn_idx % size` in both engines. */
+  private val uaTemplates: Seq[String] = Seq(
+    "Mozilla/5.0 (Windows NT 10.0; Win64; x64) AppleWebKit/537.36 (KHTML, like Gecko) Chrome/124.0.0.0 Safari/537.36",
+    "Mozilla/5.0 (Macintosh; Intel Mac OS X 10_15_7) AppleWebKit/605.1.15 (KHTML, like Gecko) Version/17.4 Safari/605.1.15",
+    "Mozilla/5.0 (X11; Linux x86_64; rv:125.0) Gecko/20100101 Firefox/125.0",
+    "Mozilla/5.0 (Windows NT 10.0; Win64; x64) AppleWebKit/537.36 (KHTML, like Gecko) Chrome/124.0.0.0 Safari/537.36 Edg/124.0.2478.51",
+    "curl/8.5.0",
+    "Mozilla/5.0 (Linux; Android 14; Pixel 8) AppleWebKit/537.36 (KHTML, like Gecko) Chrome/124.0.6367.54 Mobile Safari/537.36",
+    "Mozilla/5.0 (iPhone; CPU iPhone OS 17_4 like Mac OS X) AppleWebKit/605.1.15 (KHTML, like Gecko) Version/17.4 Mobile/15E148 Safari/604.1",
+    "FancyAnalyzer/2.1")
+
+  /** C8b conf: every numeric knob off its default (scores, FIR threshold,
+    * bands) — what a rule dir's mappings.json would set. */
+  val confB: PipelineConf = tconf.copy(
+    newValueScore = 25, freqScore = 35, refScore = 15, firThreshold = 40,
+    severityBands = Seq(0 -> "info", 25 -> "notice", 60 -> "crit"))
+
+  /** RFC 5424 syslog facility / severity label tables (P26). */
+  private val SyslogFacilities: Seq[String] = Seq(
+    "kern", "user", "mail", "daemon", "auth", "syslog", "lpr", "news",
+    "uucp", "cron", "authpriv", "ftp", "ntp", "logaudit", "logalert",
+    "clock", "local0", "local1", "local2", "local3", "local4", "local5",
+    "local6", "local7")
+  private val SyslogSeverities: Seq[String] = Seq(
+    "emergency", "alert", "critical", "error", "warning", "notice",
+    "informational", "debug")
 
   // =====================================================================
   val all: Seq[Q] = Seq(
@@ -543,6 +582,120 @@ scored AS (
         .orderBy("conv_id", "turn_idx")
     },
 
+    // P24: Logstash `useragent` filter — ordered family/os pattern list,
+    // first match wins (UserAgent.FamilyPatterns renders BOTH the Spark CASE
+    // chain and the DuckDB mirror below, so the two stay in lockstep by
+    // construction). Input UAs synthesized deterministically per turn.
+    Q("p24_useragent", {
+      import graft.functions.UserAgent
+      val tpl = uaTemplates.map(t => s"'$t'").mkString("[", ", ", "]")
+      val famSql = UserAgent.FamilyPatterns
+        .map { case (n, det, _) => s"WHEN regexp_matches(ua, '$det') THEN '$n'" }
+        .mkString("CASE ", " ", " ELSE 'other' END")
+      val majSql = UserAgent.FamilyPatterns
+        .map { case (_, det, maj) =>
+          s"WHEN regexp_matches(ua, '$det') THEN CAST(NULLIF(regexp_extract(ua, '$maj', 1), '') AS INT)" }
+        .mkString("CASE ", " ", " END")
+      val osSql = UserAgent.OsPatterns
+        .map { case (n, det) => s"WHEN regexp_matches(ua, '$det') THEN '$n'" }
+        .mkString("CASE ", " ", " ELSE 'other' END")
+      sqlT(
+        s"""SELECT conv_id, turn_idx,
+           |  $famSql AS family, $majSql AS major, $osSql AS os,
+           |  CASE WHEN regexp_matches(ua, 'Mobile') THEN 'mobile'
+           |       WHEN regexp_matches(ua, 'curl/') THEN 'other'
+           |       ELSE 'desktop' END AS device
+           |FROM (SELECT conv_id, turn_idx, $tpl[turn_idx % ${uaTemplates.size} + 1] AS ua
+           |      FROM turns)
+           |ORDER BY conv_id, turn_idx""".stripMargin)
+    }) { (s, d) =>
+      import graft.functions.UserAgent
+      T(s, d)
+        .withColumn("ua", element_at(
+          array(uaTemplates.map(lit): _*), (col("turn_idx") % uaTemplates.size) + 1))
+        .withColumn("p", UserAgent.parse(col("ua")))
+        .select(col("conv_id"), col("turn_idx"), col("p.family").as("family"),
+          col("p.major").as("major"), col("p.os").as("os"), col("p.device").as("device"))
+        .orderBy("conv_id", "turn_idx")
+    },
+
+    // P25: Logstash `aggregate` filter — task-scoped accumulation keyed by
+    // conv_id, emitted once per task on the end event or after ~7 quiet
+    // hours before the batch high-water mark ('exfil' + 25000s chosen so
+    // the fixture exercises BOTH completed and timeout emission). See
+    // operators/TaskAggregate for the map-side-combine shape.
+    Q("p25_aggregate", sqlP(
+      """, tk AS (
+        |  SELECT conv_id, count(*) AS n_events, min(ts_sec) AS first_sec,
+        |    max(ts_sec) AS last_sec,
+        |    max(CASE WHEN action = 'exfil' THEN ts_sec END) AS end_sec,
+        |    CAST(coalesce(sum(status), 0) AS BIGINT) AS status_sum,
+        |    count(DISTINCT action) AS n_actions
+        |  FROM parsed GROUP BY conv_id),
+        |hw AS (SELECT max(ts_sec) AS hwm FROM parsed)
+        |SELECT conv_id, n_events, first_sec, last_sec, end_sec, status_sum,
+        |  n_actions,
+        |  CASE WHEN end_sec IS NOT NULL THEN 'completed' ELSE 'timeout' END AS status
+        |FROM tk, hw
+        |WHERE end_sec IS NOT NULL OR last_sec + 25000 < hwm
+        |ORDER BY conv_id""".stripMargin)) { (s, d) =>
+      TaskAggregate(P(s, d), "conv_id", col("action") === "exfil", 25000L,
+        Seq(coalesce(sum(col("status")), lit(0L)).cast("long").as("status_sum"),
+          countDistinct(col("action")).as("n_actions")))
+        .select("conv_id", "n_events", "first_sec", "last_sec", "end_sec",
+          "status_sum", "n_actions", "status")
+        .orderBy("conv_id")
+    },
+
+    // P26: Logstash `syslog_pri` filter — split a syslog priority into
+    // facility/severity codes + labels (pri synthesized per turn; the
+    // label tables are the RFC 5424 constants). Pure integer math +
+    // array indexing, codegen'd.
+    Q("p26_syslog_pri", {
+      val fac = SyslogFacilities.map(f => s"'$f'").mkString("[", ", ", "]")
+      val sev = SyslogSeverities.map(f => s"'$f'").mkString("[", ", ", "]")
+      sqlP(
+        s"""SELECT conv_id, turn_idx, pri,
+           |  CAST(pri // 8 AS INT) AS facility, CAST(pri % 8 AS INT) AS sev_code,
+           |  $fac[pri // 8 + 1] AS facility_label,
+           |  $sev[pri % 8 + 1] AS severity_label
+           |FROM (SELECT conv_id, turn_idx,
+           |        CAST((turn_idx * 13 + coalesce(status, 0)) % 192 AS INT) AS pri
+           |      FROM parsed)
+           |ORDER BY conv_id, turn_idx""".stripMargin)
+    }) { (s, d) =>
+      val pri = ((col("turn_idx") * 13 + coalesce(col("status"), lit(0))) % 192)
+        .cast("int")
+      P(s, d).withColumn("pri", pri)
+        .withColumn("facility", floor(col("pri") / 8).cast("int"))
+        .withColumn("sev_code", (col("pri") % 8).cast("int"))
+        .select(col("conv_id"), col("turn_idx"), col("pri"), col("facility"),
+          col("sev_code"),
+          element_at(array(SyslogFacilities.map(lit): _*),
+            col("facility") + 1).as("facility_label"),
+          element_at(array(SyslogSeverities.map(lit): _*),
+            col("sev_code") + 1).as("severity_label"))
+        .orderBy("conv_id", "turn_idx")
+    },
+
+    // P28: Logstash `metrics` filter — windowed event-rate rollups via
+    // Spark's native time-window operator (1-hour tumbling windows aligned
+    // to the epoch, exactly ts_sec // 3600 in the oracle); rate kept as
+    // integer micro-events/sec so the differential is float-free.
+    Q("p28_metrics", sqlP(
+      """SELECT action, CAST((ts_sec // 3600) * 3600 AS BIGINT) AS win_start,
+        |  count(*) AS n,
+        |  CAST(count(*) * 1000000 // 3600 AS BIGINT) AS rate_micro_eps
+        |FROM parsed WHERE action IS NOT NULL
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)) { (s, d) =>
+      P(s, d).filter(col("action").isNotNull)
+        .groupBy(col("action"), window(col("ts"), "1 hour").as("w"))
+        .agg(count(lit(1)).as("n"))
+        .select(col("action"), unix_timestamp(col("w.start")).as("win_start"),
+          col("n"), expr("CAST(n * 1000000 DIV 3600 AS BIGINT)").as("rate_micro_eps"))
+        .orderBy("action", "win_start")
+    },
+
     Q("agg_udaf_stats", sqlP(
       """SELECT role, count(status) AS n_status,
         |  CAST(coalesce(sum(status), 0) AS BIGINT) AS sum_status, max(status) AS max_status
@@ -739,6 +892,24 @@ scored AS (
       Pipeline.enrichManaged(T(s, d), TestdataTables.rules(s), tconf)
         .select("conv_id", "turn_idx", "note", "severity", "routed")
         .orderBy("conv_id", "turn_idx")
+    },
+
+    // C8b: the SAME chain under a fully NON-DEFAULT scoring conf — the
+    // numeric config surface (per-hit scores, FIR threshold, severity
+    // bands, cf. RuleLoader mappings.json) proven end-to-end: both engines
+    // re-derive note/severity/routed from the conf, so a stage silently
+    // ignoring the conf fails the differential. Uncached enrich on purpose
+    // (a second conf must not evict the c8/c9 shared chain cache).
+    Q("c8b_scoring_conf", sqlFullFor(confB)(
+      """SELECT severity, count(*) AS n, count(*) FILTER (WHERE routed) AS n_routed,
+        |  CAST(sum(note) AS BIGINT) AS note_sum
+        |FROM scored GROUP BY severity ORDER BY severity""".stripMargin)) { (s, d) =>
+      Pipeline.enrich(T(s, d), TestdataTables.rules(s), confB)
+        .groupBy("severity")
+        .agg(count(lit(1)).as("n"),
+          count(when(col("routed"), 1)).as("n_routed"),
+          sum(col("note")).cast("long").as("note_sum"))
+        .orderBy("severity")
     },
 
     Q("c9_route_counts", sqlFull(

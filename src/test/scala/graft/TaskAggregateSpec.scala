@@ -1,0 +1,73 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.fixtures.Gen
+import graft.operators.{Parse, TaskAggregate}
+import graft.oracle.RefModel
+
+/** P25 task aggregation (Logstash `aggregate` analogue): Spark result vs a
+  * naive in-memory per-task oracle, covering completed / timeout emission
+  * and the pending-task (no emission) case. */
+class TaskAggregateSpec extends SparkSuite {
+  import spark.implicits._
+
+  private val timeoutSec = 6L * 3600L
+
+  private def mk(cid: String, idx: Int, sec: Long, action: String): graft.model.Turn =
+    graft.model.Turn(cid, idx, "user",
+      s"$action user=u001 src=10.0.0.1 dst=host0.corp.example status=200 " +
+        s"hash=${Gen.md5("f")} uri=/api/v1/r0", "",
+      new java.sql.Timestamp(sec * 1000L))
+
+  test("per-task accumulation matches the naive oracle; pending tasks emit nothing") {
+    val fx = Gen.fixture(160)
+    // pin all three emission classes: a task that completes, a task that
+    // goes quiet past the timeout, and a still-open task at the high-water
+    // mark that must stay pending
+    val hwm0 = fx.turns.map(_.ts.getTime / 1000L).max
+    val crafted = Seq(
+      mk("t-quiet", 0, hwm0 + 1000L, "read"), mk("t-quiet", 1, hwm0 + 2000L, "write"),
+      mk("t-done", 0, hwm0 + 2500L, "read"), mk("t-done", 1, hwm0 + 3000L, "upload"),
+      mk("t-open", 0, hwm0 + 2000L + timeoutSec + 3600L, "read"))
+    val turns = fx.turns ++ crafted
+    val parsed = Parse(spark.createDataset(turns).toDF(), fx.conf)
+    val got = TaskAggregate(parsed, "conv_id", col("action") === "upload",
+      timeoutSec,
+      Seq(coalesce(sum(col("status")), lit(0L)).cast("long").as("status_sum"),
+        countDistinct(col("action")).as("n_actions")))
+      .select("conv_id", "n_events", "first_sec", "last_sec", "end_sec",
+        "status_sum", "n_actions", "status")
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        if (r.isNullAt(4)) -1L else r.getLong(4), r.getLong(5), r.getLong(6),
+        r.getString(7)))
+      .sortBy(_._1).toSeq
+
+    val hwm = turns.map(_.ts.getTime / 1000L).max
+    val want = turns.groupBy(_.conv_id).toSeq.flatMap { case (cid, ts0) =>
+      val fields = ts0.map(t => (t, RefModel.parseFields(t, fx.conf)._1))
+      val secs = ts0.map(_.ts.getTime / 1000L)
+      val endSec = fields.collect {
+        case (t, f) if f.get("action").contains("upload") => t.ts.getTime / 1000L
+      }.sorted.lastOption
+      val last = secs.max
+      val status =
+        if (endSec.isDefined) Some("completed")
+        else if (last + timeoutSec < hwm) Some("timeout")
+        else None // pending: stays in the in-flight map, no emission
+      status.map { st =>
+        (cid, ts0.size.toLong, secs.min, last, endSec.getOrElse(-1L),
+          fields.flatMap(_._2.get("status")).map(_.toLong).sum,
+          fields.flatMap(_._2.get("action")).distinct.size.toLong, st)
+      }
+    }.sortBy(_._1)
+
+    assert(got === want)
+    assert(got.exists(_._8 == "completed"), "fixture must complete some tasks")
+    assert(got.exists(_._8 == "timeout"), "fixture must time out some tasks")
+    assert(got.size < turns.map(_.conv_id).distinct.size,
+      "some tasks must stay pending (no emission)")
+    assert(!got.exists(_._1 == "t-open"), "open task at the HWM stays pending")
+  }
+}
