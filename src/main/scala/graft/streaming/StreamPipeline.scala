@@ -189,6 +189,78 @@ object StreamPipeline {
         })
   }
 
+  final case class TaskEv(key: String, ts_us: Long, ts_sec: Long, end: Boolean,
+      status: Option[Int], action: Option[String], ts: java.sql.Timestamp)
+  /** Per-task accumulators + done flag — one small record per task, the
+    * streaming mirror of [[graft.operators.TaskAggregate]]'s aggregate row. */
+  final case class TaskSt(n: Long, first: Long, last: Long, sum: Long,
+      actions: Seq[String], done: Boolean)
+  final case class TaskOut(key: String, n_events: Long, first_sec: Long,
+      last_sec: Long, end_sec: Option[Long], status_sum: Long, n_actions: Long,
+      status: String)
+
+  /** P25 task aggregation, streaming twin — the Logstash `aggregate` filter's
+    * native shape: accumulate per task, push the map as ONE event on the end
+    * event (inline, with everything accumulated up to and including it) or
+    * when the task goes quiet past `timeoutSec` of EVENT time (the
+    * deterministic form of `push_map_as_event_on_timeout`; the filter's wall
+    * clock would make runs unreproducible). flatMapGroupsWithState with
+    * event-time timeout: the timeout re-arms at last activity + timeoutSec
+    * and fires once the watermark passes it. One task per key, done tasks
+    * absorb nothing (same simplification as [[elapsedStream]]).
+    *
+    * vs the batch operator: batch aggregates the whole input per key and
+    * judges quiet against the batch high-water mark; the stream emits at the
+    * END EVENT (ignoring later events) and trailing timeouts pending when an
+    * AvailableNow stream stops have not fired yet — TaskAggregateSpec pins
+    * both relations. */
+  def taskAggStream(parsed: DataFrame, key: String, isEnd: Column,
+      timeoutSec: Long): Dataset[TaskOut] = {
+    val spark = parsed.sparkSession
+    import spark.implicits._
+    // ts must survive untouched into the grouped Dataset (event-time timeout
+    // needs the watermark attribute; a cast/alias strips its metadata)
+    val evs = parsed.withColumn("ts", col("ts").cast("timestamp"))
+      .withWatermark("ts", "0 seconds")
+      .select(col(key).cast("string").as("key"), col("ts_us"), col("ts_sec"),
+        coalesce(isEnd, lit(false)).as("end"), // null predicate (unparsed row) = not an end
+        col("status"), col("action"), col("ts"))
+      .as[TaskEv]
+    evs.groupByKey(_.key)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(
+        (k: String, it: Iterator[TaskEv], state: GroupState[TaskSt]) => {
+          if (state.hasTimedOut) {
+            val st = state.get
+            if (st.done) Iterator.empty
+            else {
+              state.update(st.copy(done = true)) // keep: late events must not re-open
+              Iterator.single(TaskOut(k, st.n, st.first, st.last, None, st.sum,
+                st.actions.size.toLong, "timeout"))
+            }
+          } else {
+            val sorted = it.toArray.sortBy(e => (e.ts_us, e.ts_sec))
+            var st = state.getOption.getOrElse(
+              TaskSt(0L, Long.MaxValue, Long.MinValue, 0L, Nil, done = false))
+            val out = scala.collection.mutable.ArrayBuffer.empty[TaskOut]
+            for (e <- sorted if !st.done) {
+              st = TaskSt(st.n + 1L, math.min(st.first, e.ts_sec),
+                math.max(st.last, e.ts_sec), st.sum + e.status.getOrElse(0),
+                e.action.filterNot(st.actions.contains) ++: st.actions,
+                done = false)
+              if (e.end) {
+                out += TaskOut(k, st.n, st.first, st.last, Some(e.ts_sec),
+                  st.sum, st.actions.size.toLong, "completed")
+                st = st.copy(done = true)
+              }
+            }
+            state.update(st)
+            if (!st.done && st.n > 0L)
+              state.setTimeoutTimestamp(st.last * 1000L + timeoutSec * 1000L)
+            out.iterator
+          }
+        })
+  }
+
   /** C7 streaming: tumbling-window per-key counts ≥ threshold. */
   def freqAlerts(parsed: DataFrame, conf: PipelineConf,
       watermarkDelay: String = "10 minutes"): DataFrame =

@@ -70,4 +70,73 @@ class TaskAggregateSpec extends SparkSuite {
       "some tasks must stay pending (no emission)")
     assert(!got.exists(_._1 == "t-open"), "open task at the HWM stays pending")
   }
+
+  test("streaming twin (FMGWS event-time timeout): completed == emit-at-end oracle, timeouts match their own accumulation") {
+    import java.nio.file.Files
+    import org.apache.spark.sql.streaming.Trigger
+    val fx = Gen.fixture(150)
+    // three ascending-time files → ascending micro-batches; later files
+    // advance the watermark so mid-stream inactivity timeouts actually fire
+    val base = Files.createTempDirectory("graft-taskagg-in").toString
+    val sorted = fx.turns.sortBy(t => (t.ts.getTime, t.conv_id, t.turn_idx))
+    val n = sorted.size
+    Seq(sorted.slice(0, n / 3), sorted.slice(n / 3, 2 * n / 3), sorted.slice(2 * n / 3, n))
+      .zipWithIndex.foreach { case (p, i) =>
+        val tmp = Files.createTempDirectory("graft-taskagg-part").toString
+        spark.createDataset(p).toDF().coalesce(1).write.mode("overwrite").parquet(tmp)
+        val src = new java.io.File(tmp).listFiles()
+          .filter(_.getName.endsWith(".parquet")).head
+        val dst = java.nio.file.Paths.get(base, f"part-$i%03d.parquet")
+        Files.move(src.toPath, dst)
+        Files.setLastModifiedTime(dst,
+          java.nio.file.attribute.FileTime.fromMillis(1700000000000L + i * 60000L))
+        ()
+      }
+    val stream = spark.readStream
+      .schema(spark.read.parquet(base).schema)
+      .option("maxFilesPerTrigger", "1").parquet(base)
+    val streamTimeout = 600L // fixture spans ~100 min → quiet gaps exist
+    val out = graft.streaming.StreamPipeline.taskAggStream(
+      Parse(stream, fx.conf), "conv_id", col("action") === "exfil", streamTimeout)
+    val q = out.toDF().writeStream.outputMode("append").format("memory")
+      .queryName("taskagg").trigger(Trigger.AvailableNow()).start()
+    q.processAllAvailable(); q.stop()
+    val got = spark.table("taskagg").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        if (r.isNullAt(4)) -1L else r.getLong(4), r.getLong(5), r.getLong(6),
+        r.getString(7))).toSeq
+    assert(got.map(_._1).distinct.size === got.size, "one emission per task")
+
+    // emit-at-end oracle: accumulate in event-time order UP TO the first end
+    def accum(cid: String, upTo: Long): (Long, Long, Long, Long, Long) = {
+      val evs = fx.turns.filter(_.conv_id == cid)
+        .filter(_.ts.getTime / 1000L <= upTo)
+        .map(t => (t.ts.getTime / 1000L, RefModel.parseFields(t, fx.conf)._1))
+      (evs.size.toLong, evs.map(_._1).min, evs.map(_._1).max,
+        evs.flatMap(_._2.get("status")).map(_.toLong).sum,
+        evs.flatMap(_._2.get("action")).distinct.size.toLong)
+    }
+    val wantCompleted = fx.turns.groupBy(_.conv_id).toSeq.flatMap { case (cid, ts0) =>
+      val endSec = ts0.sortBy(t => (t.ts.getTime, t.turn_idx))
+        .find(t => RefModel.parseFields(t, fx.conf)._1.get("action").contains("exfil"))
+        .map(_.ts.getTime / 1000L)
+      endSec.map { e =>
+        val (nn, f, l, s, a) = accum(cid, e)
+        (cid, nn, f, l, e, s, a, "completed")
+      }
+    }.toSet
+    assert(got.filter(_._8 == "completed").toSet === wantCompleted)
+    assert(wantCompleted.nonEmpty, "fixture must complete tasks in-stream")
+
+    // each fired timeout row equals its own ≤last_sec accumulation and its
+    // task truly saw no end event up to that point
+    val timeouts = got.filter(_._8 == "timeout")
+    assert(timeouts.nonEmpty, "watermark advance must fire some timeouts")
+    timeouts.foreach { case (cid, nn, f, l, e, s, a, _) =>
+      assert(e === -1L)
+      val (on, of, ol, os, oa) = accum(cid, l)
+      assert((nn, f, l, s, a) === ((on, of, ol, os, oa)), s"timeout row $cid")
+      assert(!wantCompleted.exists(_._1 == cid), s"$cid has an end event")
+    }
+  }
 }
