@@ -79,7 +79,9 @@ object RuleLoader {
     *                 "fir_threshold": 50,
     *                 "new_value_score": 15, "freq_score": 20, "ref_score": 10,
     *                 "severity_bands": [{"min": 0, "name": "low"},
-    *                                    {"min": 50, "name": "high"}]}
+    *                                    {"min": 50, "name": "high"}],
+    *                 "grok_pattern": "%{WORD:action} ...",
+    *                 "grok_fallbacks": ["%{WORD:action} %{GREEDYDATA:rest}"]}
     * }}}
     *
     * Missing file or missing key ⇒ the base conf's value is kept. */
@@ -102,7 +104,9 @@ object RuleLoader {
       StructField("freq_score", IntegerType),
       StructField("ref_score", IntegerType),
       StructField("severity_bands", ArrayType(StructType(Seq(
-        StructField("min", IntegerType), StructField("name", StringType)))))))
+        StructField("min", IntegerType), StructField("name", StringType))))),
+      StructField("grok_pattern", StringType),
+      StructField("grok_fallbacks", ArrayType(StringType))))
     val row = spark.read.schema(schema).option("multiLine", "true")
       .json(path).head()
     def arr(i: Int, dflt: Seq[String]): Seq[String] =
@@ -114,6 +118,10 @@ object RuleLoader {
       else row.getSeq[org.apache.spark.sql.Row](13)
         .map(b => b.getInt(0) -> b.getString(1)).sortBy(_._1)
     require(bands.nonEmpty, s"$path: severity_bands must not be empty")
+    val gp = if (row.isNullAt(14)) base.grokPattern else row.getString(14)
+    val gf = arr(15, base.grokFallbacks)
+    // malformed grok must fail at CONFIG LOAD, not mid-job on an executor
+    (gp +: gf).foreach(p => graft.functions.GrokCompiler.compile(p))
     base.copy(
       fingerprintFields = arr(0, base.fingerprintFields),
       iocKindFields =
@@ -130,7 +138,9 @@ object RuleLoader {
       newValueScore = int(10, base.newValueScore),
       freqScore = int(11, base.freqScore),
       refScore = int(12, base.refScore),
-      severityBands = bands)
+      severityBands = bands,
+      grokPattern = gp,
+      grokFallbacks = gf)
   }
 
   /** Conf for a config dir: `base` + the dir's mappings.json (if present). */

@@ -90,7 +90,8 @@ class RuleLoaderSpec extends SparkSuite {
         | "tracked_fields": ["src_ip"],
         | "freq_key": "user",
         | "freq_threshold": 7, "fir_threshold": 45, "ref_score": 12,
-        | "severity_bands": [{"min": 0, "name": "info"}, {"min": 45, "name": "alert"}]}""".stripMargin)
+        | "severity_bands": [{"min": 0, "name": "info"}, {"min": 45, "name": "alert"}],
+        | "grok_fallbacks": ["%{WORD:action} %{GREEDYDATA:uri}"]}""".stripMargin)
     val fx = Gen.fixture(120)
     val conf = RuleLoader.confFromDir(spark, d.toString, fx.conf)
     assert(conf.fingerprintFields === Seq("action", "user", "dst_host"))
@@ -101,9 +102,15 @@ class RuleLoaderSpec extends SparkSuite {
     assert(conf.freqThreshold === 7 && conf.firThreshold === 45 && conf.refScore === 12)
     assert(conf.severityBands === Seq(0 -> "info", 45 -> "alert"))
     assert(conf.freqWindowSec === fx.conf.freqWindowSec, "unset keys keep base values")
+    assert(conf.grokFallbacks === Seq("%{WORD:action} %{GREEDYDATA:uri}"))
+    assert(conf.grokPattern === fx.conf.grokPattern, "unset grok_pattern keeps base")
     // conf without a mappings file is untouched
     assert(RuleLoader.confFromDir(spark,
       Files.createTempDirectory("graft-nomap").toString, fx.conf) === fx.conf)
+    // malformed grok fails at load time, not mid-job
+    val bad = Files.createTempDirectory("graft-badgrok")
+    write(bad, "mappings.json", """{"grok_pattern": "%{NOSUCHPAT:x}"}""")
+    intercept[Exception](RuleLoader.confFromDir(spark, bad.toString, fx.conf))
 
     // IOC/ref tables aligned with the REMAPPED fields so every remapped
     // check actually fires on the fixture

@@ -71,6 +71,36 @@ class TaskAggregateSpec extends SparkSuite {
     assert(!got.exists(_._1 == "t-open"), "open task at the HWM stays pending")
   }
 
+  test("resume contract: finish(state(A∪B)) == finish(state(B, state(A))) == generic apply") {
+    val fx = Gen.fixture(140)
+    val isEnd = col("action") === "upload"
+    val sorted = fx.turns.sortBy(t => (t.ts.getTime, t.conv_id, t.turn_idx))
+    val (a, b) = sorted.splitAt(sorted.size / 2)
+    def parse(ts: Seq[graft.model.Turn]) =
+      Parse(spark.createDataset(ts).toDF(), fx.conf)
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        if (r.isNullAt(4)) -1L else r.getLong(4), r.getLong(5), r.getLong(6),
+        r.getString(7)))
+      .sortBy(_._1).toSeq
+
+    val whole = rows(TaskAggregate.finish(
+      TaskAggregate.state(parse(sorted), "conv_id", isEnd), "conv_id", timeoutSec))
+    val resumed = rows(TaskAggregate.finish(
+      TaskAggregate.state(parse(b), "conv_id", isEnd,
+        prior = Some(TaskAggregate.state(parse(a), "conv_id", isEnd))),
+      "conv_id", timeoutSec))
+    assert(whole === resumed)
+    assert(whole.nonEmpty)
+
+    val viaApply = rows(TaskAggregate(parse(sorted), "conv_id", isEnd, timeoutSec,
+      Seq(coalesce(sum(col("status")), lit(0L)).cast("long").as("status_sum"),
+        countDistinct(col("action")).as("n_actions")))
+      .select("conv_id", "n_events", "first_sec", "last_sec", "end_sec",
+        "status_sum", "n_actions", "status"))
+    assert(whole === viaApply, "fixed-schema state/finish == generic apply")
+  }
+
   test("streaming twin (FMGWS event-time timeout): completed == emit-at-end oracle, timeouts match their own accumulation") {
     import java.nio.file.Files
     import org.apache.spark.sql.streaming.Trigger
