@@ -971,6 +971,44 @@ scored AS (
         .orderBy("rule_id")
     },
 
+    // SURVEY §2.6: the combined per-sink × per-hit-kind report table —
+    // ROLLUP(severity, kind) over routed rows, kind presence per row (a row
+    // counts once per kind that fired on it).
+    Q("agg_rollup_sev_kind", sqlFull(
+      s"""SELECT coalesce(severity, '(all)') AS severity_g,
+         |  coalesce(kind, '(all)') AS kind_g, count(*) AS n
+         |FROM (
+         |  SELECT s.severity, k.kind
+         |  FROM scored s
+         |  JOIN (
+         |    SELECT conv_id, turn_idx, unnest(list_filter([
+         |      CASE WHEN ioc_score > 0 THEN 'ioc' END,
+         |      CASE WHEN sig_score > 0 THEN 'sig' END,
+         |      CASE WHEN ref_score > 0 THEN 'ref' END,
+         |      CASE WHEN new_user OR new_host THEN 'new' END,
+         |      CASE WHEN freq_hit THEN 'freq' END], x -> x IS NOT NULL)) AS kind
+         |    FROM fr2) k
+         |  ON s.conv_id = k.conv_id AND s.turn_idx = k.turn_idx
+         |  WHERE s.routed)
+         |GROUP BY ROLLUP(severity, kind)
+         |ORDER BY severity_g, kind_g""".stripMargin)) { (s, d) =>
+      val enr = Pipeline.enrichManaged(T(s, d), TestdataTables.rules(s), tconf)
+      val kindCases = Seq("ioc", "sig", "ref", "new", "freq")
+        .map(k => s"CASE WHEN exists(hits, h -> h.kind = '$k') THEN '$k' END")
+        .mkString(", ")
+      // through a temp view: ROLLUP over the cached chain's Dataset-tagged
+      // attributes trips DetectAmbiguousSelfJoin; SQL resolution is clean
+      enr.filter(col("routed")).createOrReplaceTempView("graft_routed")
+      s.sql(
+        s"""SELECT coalesce(sev0, '(all)') AS severity_g,
+           |  coalesce(kind0, '(all)') AS kind_g, count(*) AS n
+           |FROM (SELECT severity AS sev0,
+           |        explode(array_compact(array($kindCases))) AS kind0
+           |      FROM graft_routed)
+           |GROUP BY ROLLUP(sev0, kind0)
+           |ORDER BY severity_g, kind_g""".stripMargin)
+    },
+
     Q("agg_rollup_cube", sqlP(
       """SELECT coalesce(role, '(all)') AS role_g,
         |  coalesce(CAST(parse_ok AS VARCHAR), '(all)') AS parse_ok_g, count(*) AS n
