@@ -8,7 +8,8 @@ import graft.entry.{LogQueries, Q, TestdataAdapter, TestdataTables}
   * Queries live in graft.entry.* registries; each carries its DuckDB oracle. */
 object SparkEntry {
 
-  def registry: Seq[Q] = LogQueries.all ++ graft.entry.DataPipeQueries.all
+  def registry: Seq[Q] =
+    LogQueries.all ++ graft.entry.FilterQueries.all ++ graft.entry.DataPipeQueries.all
 
   /** Flagship: full parse→enrich→score chain over sf0.001 events-as-turns,
     * severity distribution over ALL enriched rows (always non-empty). */

@@ -80,6 +80,46 @@ object DataPipeQueries {
     "de" -> Seq("der", "die", "das", "und", "ist"),
     "fr" -> Seq("le", "et", "les", "des", "un"))
 
+  /** Verified n-gram-Jaccard near-dup pairs (threshold 1/2), Spark side —
+    * the EXACT prefix-filtered AllPairs join (see dd_ngram_jaccard for the
+    * algorithm notes). Returns (i, j, inter, na, nb); shared by
+    * dd_ngram_jaccard and the connected-components clustering. */
+  private def jaccardVerified(s: SparkSession, d: String): DataFrame = {
+    // docsh fans into 4 consumers (token index + both verify sides) —
+    // persist via the latest-only cycle() so the shingle arrays are
+    // computed once per query, not once per consumer
+    val docsh = cycle(docs(s, d).filter(size(wordsCol) >= 3)
+      .select(col("doc_id"), shinglesExpr.as("shs"))
+      .select(col("doc_id"), col("shs"), size(col("shs")).as("nsh")))
+    // candidate generation runs on 64-bit shingle hashes (cheap shuffles,
+    // no long strings); a hash collision can only ADD a candidate, never
+    // drop one, and the exact array_intersect verification removes it
+    val tok = docsh.select(col("doc_id"), col("nsh"), explode(col("shs")).as("sh"))
+      .select(col("doc_id"), col("nsh"), xxhash64(col("sh")).as("shh"))
+    val dfreq = tok.groupBy("shh").agg(count(lit(1)).as("df"))
+    val prefix = tok.join(dfreq, "shh")
+      .withColumn("rk", row_number().over(
+        Window.partitionBy("doc_id").orderBy(col("df"), col("shh"))))
+      .filter(col("rk") <= floor(col("nsh") / 2) + 1)
+      .select("doc_id", "shh")
+    val cand = prefix.as("a")
+      .join(prefix.as("b"),
+        col("a.shh") === col("b.shh") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("i"), col("b.doc_id").as("j")).distinct()
+    // verify joins keyed by i/j with NO broadcast hint: an explicit hint
+    // is never demoted for size, but AQE converts these to broadcast at
+    // runtime when the cached docsh side is small, and shuffles cleanly
+    // by i/j at corpus scale
+    cand
+      .join(docsh.select(col("doc_id").as("i"), col("shs").as("sa"),
+        col("nsh").as("na")), "i")
+      .join(docsh.select(col("doc_id").as("j"), col("shs").as("sb"),
+        col("nsh").as("nb")), "j")
+      .withColumn("inter", size(array_intersect(col("sa"), col("sb"))).cast("long"))
+      .filter(lit(3) * col("inter") >= col("na") + col("nb"))
+      .select(col("i"), col("j"), col("inter"), col("na"), col("nb"))
+  }
+
   val all: Seq[Q] = Seq(
 
     // ---- exact dedup: hash-groupBy, keep min doc_id per content hash.
@@ -119,40 +159,65 @@ object DataPipeQueries {
          |SELECT i, j, CAST(inter AS BIGINT) AS inter,
          |  CAST(na AS BIGINT) AS na, CAST(nb AS BIGINT) AS nb
          |FROM pairs WHERE 3 * inter >= na + nb ORDER BY i, j""".stripMargin) { (s, d) =>
-      // docsh fans into 4 consumers (token index + both verify sides) —
-      // persist via the latest-only cycle() so the shingle arrays are
-      // computed once per query, not once per consumer
-      val docsh = cycle(docs(s, d).filter(size(wordsCol) >= 3)
-        .select(col("doc_id"), shinglesExpr.as("shs"))
-        .select(col("doc_id"), col("shs"), size(col("shs")).as("nsh")))
-      // candidate generation runs on 64-bit shingle hashes (cheap shuffles,
-      // no long strings); a hash collision can only ADD a candidate, never
-      // drop one, and the exact array_intersect verification removes it
-      val tok = docsh.select(col("doc_id"), col("nsh"), explode(col("shs")).as("sh"))
-        .select(col("doc_id"), col("nsh"), xxhash64(col("sh")).as("shh"))
-      val dfreq = tok.groupBy("shh").agg(count(lit(1)).as("df"))
-      val prefix = tok.join(dfreq, "shh")
-        .withColumn("rk", row_number().over(
-          Window.partitionBy("doc_id").orderBy(col("df"), col("shh"))))
-        .filter(col("rk") <= floor(col("nsh") / 2) + 1)
-        .select("doc_id", "shh")
-      val cand = prefix.as("a")
-        .join(prefix.as("b"),
-          col("a.shh") === col("b.shh") && col("a.doc_id") < col("b.doc_id"))
-        .select(col("a.doc_id").as("i"), col("b.doc_id").as("j")).distinct()
-      // verify joins keyed by i/j with NO broadcast hint: an explicit hint
-      // is never demoted for size, but AQE converts these to broadcast at
-      // runtime when the cached docsh side is small, and shuffles cleanly
-      // by i/j at corpus scale
-      cand
-        .join(docsh.select(col("doc_id").as("i"), col("shs").as("sa"),
-          col("nsh").as("na")), "i")
-        .join(docsh.select(col("doc_id").as("j"), col("shs").as("sb"),
-          col("nsh").as("nb")), "j")
-        .withColumn("inter", size(array_intersect(col("sa"), col("sb"))).cast("long"))
-        .filter(lit(3) * col("inter") >= col("na") + col("nb"))
-        .select(col("i"), col("j"), col("inter"), col("na"), col("nb"))
-        .orderBy("i", "j")
+      jaccardVerified(s, d).orderBy("i", "j")
+    },
+
+    // ---- near-dup CLUSTERING: the verified Jaccard pairs are only half the
+    // dedup story — production dedup must group transitively-connected docs
+    // into one cluster and keep a single canonical doc per cluster.
+    // Spark side: iterative min-label propagation over the pair graph (the
+    // standard distributed connected-components loop — each iteration is one
+    // shuffle join keyed by node id, converging in O(diameter) rounds; at
+    // corpus scale each round would also localCheckpoint to truncate
+    // lineage). Oracle: DuckDB recursive CTE computing the same transitive
+    // closure. comp = min doc_id of the component = the kept canonical doc.
+    Q("dd_cluster_cc",
+      s"""WITH RECURSIVE sh AS (
+         |  SELECT doc_id, unnest($shinglesSqlD) AS sh,
+         |    len($shinglesSqlD) AS nsh
+         |  FROM documents WHERE len(str_split(text, ' ')) >= 3),
+         |pairs AS (
+         |  SELECT a.doc_id AS i, b.doc_id AS j, count(*) AS inter,
+         |    any_value(a.nsh) AS na, any_value(b.nsh) AS nb
+         |  FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+         |  GROUP BY a.doc_id, b.doc_id),
+         |jp AS (SELECT i, j FROM pairs WHERE 3 * inter >= na + nb),
+         |edges AS (SELECT i AS a, j AS b FROM jp UNION ALL SELECT j, i FROM jp),
+         |reach(node, r) AS (
+         |  SELECT DISTINCT a, a FROM edges
+         |  UNION
+         |  SELECT e.a, reach.r FROM edges e JOIN reach ON reach.node = e.b),
+         |lab AS (SELECT node, min(r) AS comp FROM reach GROUP BY node)
+         |SELECT CAST(node AS BIGINT) AS doc_id, CAST(comp AS BIGINT) AS comp,
+         |  CAST(count(*) OVER (PARTITION BY comp) AS BIGINT) AS n_members
+         |FROM lab ORDER BY doc_id""".stripMargin) { (s, d) =>
+      val jp = cycle(jaccardVerified(s, d).select(col("i"), col("j")))
+      val edges = jp.unionAll(jp.select(col("j").as("i"), col("i").as("j")))
+        .toDF("a", "b")
+      var labels = edges.select(col("a").as("node")).distinct()
+        .withColumn("comp", col("node")).persist()
+      var changed = 1L
+      var iter = 0
+      while (changed > 0 && iter < 20) {
+        val nbr = edges
+          .join(labels.select(col("node").as("b"), col("comp").as("nc")), "b")
+          .groupBy(col("a").as("node")).agg(min(col("nc")).as("nbr_min"))
+        val next = labels.join(nbr, Seq("node"), "left_outer")
+          .select(col("node"),
+            least(col("comp"), coalesce(col("nbr_min"), col("comp"))).as("comp"),
+            (coalesce(col("nbr_min"), col("comp")) < col("comp")).as("_chg"))
+          .persist()
+        changed = next.filter(col("_chg")).count()
+        labels.unpersist()
+        labels = next.drop("_chg")
+        iter += 1
+      }
+      labels
+        .withColumn("n_members",
+          count(lit(1)).over(Window.partitionBy("comp")).cast("long"))
+        .select(col("node").cast("long").as("doc_id"),
+          col("comp").cast("long").as("comp"), col("n_members"))
+        .orderBy("doc_id")
     },
 
     // ---- MinHash + LSH banding: signature_k = lexicographic min of

@@ -24,8 +24,8 @@ object LogQueries {
   private val rx = GrokCompiler.compile(PipelineConf.DefaultGrok).regex
 
   // ---------- shared Spark-side inputs ----------
-  private def T(s: SparkSession, d: String): DataFrame = TestdataAdapter.turns(s, d)
-  private def P(s: SparkSession, d: String): DataFrame = Parse(T(s, d), tconf)
+  private[entry] def T(s: SparkSession, d: String): DataFrame = TestdataAdapter.turns(s, d)
+  private[entry] def P(s: SparkSession, d: String): DataFrame = Parse(T(s, d), tconf)
 
   // ---------- shared DuckDB CTEs ----------
   private val parsedCte: String = s"""parsed AS (
@@ -46,9 +46,9 @@ object LogQueries {
   FROM turns
 )"""
 
-  private def sqlT(body: String): String =
+  private[entry] def sqlT(body: String): String =
     s"WITH ${TestdataAdapter.turnsCte}\n$body"
-  private def sqlP(body: String): String =
+  private[entry] def sqlP(body: String): String =
     s"WITH ${TestdataAdapter.turnsCte},\n$parsedCte\n$body"
   private def sqlFull(body: String): String =
     s"WITH ${TestdataAdapter.turnsCte},\n$parsedCte,\n${TestdataTables.iocCte},\n" +
