@@ -80,6 +80,39 @@ object DataPipeQueries {
     "de" -> Seq("der", "die", "das", "und", "ist"),
     "fr" -> Seq("le", "et", "les", "des", "un"))
 
+  // ---- language-ID pieces shared by ta_langid and ta_curation: per-lang
+  // stopword-hit scores + first-wins argmax, rendered for BOTH engines.
+  private def withLangScores(df: DataFrame): DataFrame =
+    langDicts.foldLeft(df) { case (acc, (l, ws)) =>
+      acc.withColumn(s"s_$l",
+        size(filter(split(col("text"), " "),
+          x => x.isin(ws.map(_.asInstanceOf[Any]): _*))).cast("int"))
+    }
+  private def predLangCol: Column = {
+    val keys = langDicts.map(_._1)
+    keys.init.zipWithIndex.foldLeft(None: Option[Column]) {
+      case (acc, (l, i)) =>
+        val rest = keys.drop(i + 1).map(k => col(s"s_$k"))
+        val hi = if (rest.size == 1) rest.head else greatest(rest: _*)
+        val c = col(s"s_$l") >= hi
+        Some(acc match {
+          case None => when(c, l)
+          case Some(w) => w.when(c, l)
+        })
+    }.get.otherwise(keys.last)
+  }
+  private val langScoresSqlD: String = langDicts.map { case (l, ws) =>
+    s"len(list_filter(str_split(text, ' '), x -> x IN (${ws.map(w => s"'$w'").mkString(",")}))) AS s_$l"
+  }.mkString(",\n    ")
+  private val predLangSqlD: String = {
+    val keys = langDicts.map(_._1)
+    val cases = keys.init.zipWithIndex.map { case (l, i) =>
+      val rest = keys.drop(i + 1).map(k => s"s_$k")
+      s"WHEN s_$l >= greatest(${rest.mkString(",")}) THEN '$l'"
+    }.mkString(" ")
+    s"CASE $cases ELSE '${keys.last}' END"
+  }
+
   /** Verified n-gram-Jaccard near-dup pairs (threshold 1/2), Spark side —
     * the EXACT prefix-filtered AllPairs join (see dd_ngram_jaccard for the
     * algorithm notes). Returns (i, j, inter, na, nb); shared by
@@ -118,6 +151,36 @@ object DataPipeQueries {
       .withColumn("inter", size(array_intersect(col("sa"), col("sb"))).cast("long"))
       .filter(lit(3) * col("inter") >= col("na") + col("nb"))
       .select(col("i"), col("j"), col("inter"), col("na"), col("nb"))
+  }
+
+  /** Connected components of the near-dup pair graph by iterative min-label
+    * propagation: one shuffle join keyed by node id per round, O(diameter)
+    * rounds (at corpus scale each round would also localCheckpoint to
+    * truncate lineage). Returns (node, comp) where comp = min doc_id of the
+    * component — the kept canonical doc. */
+  private def ccLabels(pairs: DataFrame): DataFrame = {
+    val jp = cycle(pairs.select(col("i"), col("j")))
+    val edges = jp.unionAll(jp.select(col("j").as("i"), col("i").as("j")))
+      .toDF("a", "b")
+    var labels = edges.select(col("a").as("node")).distinct()
+      .withColumn("comp", col("node")).persist()
+    var changed = 1L
+    var iter = 0
+    while (changed > 0 && iter < 20) {
+      val nbr = edges
+        .join(labels.select(col("node").as("b"), col("comp").as("nc")), "b")
+        .groupBy(col("a").as("node")).agg(min(col("nc")).as("nbr_min"))
+      val next = labels.join(nbr, Seq("node"), "left_outer")
+        .select(col("node"),
+          least(col("comp"), coalesce(col("nbr_min"), col("comp"))).as("comp"),
+          (coalesce(col("nbr_min"), col("comp")) < col("comp")).as("_chg"))
+        .persist()
+      changed = next.filter(col("_chg")).count()
+      labels.unpersist()
+      labels = next.drop("_chg")
+      iter += 1
+    }
+    labels
   }
 
   val all: Seq[Q] = Seq(
@@ -191,32 +254,59 @@ object DataPipeQueries {
          |SELECT CAST(node AS BIGINT) AS doc_id, CAST(comp AS BIGINT) AS comp,
          |  CAST(count(*) OVER (PARTITION BY comp) AS BIGINT) AS n_members
          |FROM lab ORDER BY doc_id""".stripMargin) { (s, d) =>
-      val jp = cycle(jaccardVerified(s, d).select(col("i"), col("j")))
-      val edges = jp.unionAll(jp.select(col("j").as("i"), col("i").as("j")))
-        .toDF("a", "b")
-      var labels = edges.select(col("a").as("node")).distinct()
-        .withColumn("comp", col("node")).persist()
-      var changed = 1L
-      var iter = 0
-      while (changed > 0 && iter < 20) {
-        val nbr = edges
-          .join(labels.select(col("node").as("b"), col("comp").as("nc")), "b")
-          .groupBy(col("a").as("node")).agg(min(col("nc")).as("nbr_min"))
-        val next = labels.join(nbr, Seq("node"), "left_outer")
-          .select(col("node"),
-            least(col("comp"), coalesce(col("nbr_min"), col("comp"))).as("comp"),
-            (coalesce(col("nbr_min"), col("comp")) < col("comp")).as("_chg"))
-          .persist()
-        changed = next.filter(col("_chg")).count()
-        labels.unpersist()
-        labels = next.drop("_chg")
-        iter += 1
-      }
-      labels
+      ccLabels(jaccardVerified(s, d))
         .withColumn("n_members",
           count(lit(1)).over(Window.partitionBy("comp")).cast("long"))
         .select(col("node").cast("long").as("doc_id"),
           col("comp").cast("long").as("comp"), col("n_members"))
+        .orderBy("doc_id")
+    },
+
+    // ---- the composed training-data CURATION pass — what a real corpus
+    // pipeline runs end-to-end: language gate (stopword argmax == 'en'),
+    // quality floor (distinct-word ratio ≥ 0.35, min 5 words), and near-dup
+    // canonicalization (drop every non-canonical member of a Jaccard
+    // cluster). All pieces are the already-differential operators composed
+    // into one plan: narrow feature projections + the CC loser anti-join.
+    Q("ta_curation",
+      s"""WITH RECURSIVE sh AS (
+         |  SELECT doc_id, unnest($shinglesSqlD) AS sh,
+         |    len($shinglesSqlD) AS nsh
+         |  FROM documents WHERE len(str_split(text, ' ')) >= 3),
+         |pairs AS (
+         |  SELECT a.doc_id AS i, b.doc_id AS j, count(*) AS inter,
+         |    any_value(a.nsh) AS na, any_value(b.nsh) AS nb
+         |  FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+         |  GROUP BY a.doc_id, b.doc_id),
+         |jp AS (SELECT i, j FROM pairs WHERE 3 * inter >= na + nb),
+         |edges AS (SELECT i AS a, j AS b FROM jp UNION ALL SELECT j, i FROM jp),
+         |reach(node, r) AS (
+         |  SELECT DISTINCT a, a FROM edges
+         |  UNION
+         |  SELECT e.a, reach.r FROM edges e JOIN reach ON reach.node = e.b),
+         |lab AS (SELECT node, min(r) AS comp FROM reach GROUP BY node),
+         |losers AS (SELECT node AS doc_id FROM lab WHERE node != comp),
+         |f AS (SELECT doc_id, $langScoresSqlD,
+         |    len(str_split(text, ' ')) AS nw,
+         |    (len(list_distinct(str_split(text, ' '))) * 10000)
+         |      // len(str_split(text, ' ')) AS uniq_bp
+         |  FROM documents),
+         |g AS (SELECT doc_id, nw, uniq_bp, $predLangSqlD AS pred_lang FROM f)
+         |SELECT doc_id, CAST(nw AS INT) AS nw, CAST(uniq_bp AS INT) AS uniq_bp
+         |FROM g WHERE pred_lang = 'en' AND nw >= 5 AND uniq_bp >= 3500
+         |  AND doc_id NOT IN (SELECT doc_id FROM losers)
+         |ORDER BY doc_id""".stripMargin) { (s, d) =>
+      val feat = withLangScores(docs(s, d))
+        .withColumn("nw", size(wordsCol))
+        .withColumn("uniq_bp",
+          floor(size(array_distinct(wordsCol)) * 10000 / size(wordsCol)).cast("int"))
+        .withColumn("pred_lang", predLangCol)
+      val losers = ccLabels(jaccardVerified(s, d))
+        .filter(col("node") =!= col("comp")).select(col("node").as("doc_id"))
+      feat.join(losers, Seq("doc_id"), "left_anti")
+        .filter(col("pred_lang") === "en" && col("nw") >= 5 &&
+          col("uniq_bp") >= 3500)
+        .select(col("doc_id"), col("nw").cast("int").as("nw"), col("uniq_bp"))
         .orderBy("doc_id")
     },
 
@@ -618,37 +708,16 @@ object DataPipeQueries {
 
     // ---- language-ID: stopword-hit scores per language, argmax.
     Q("ta_langid", {
-      val scores = langDicts.map { case (l, ws) =>
-        s"len(list_filter(str_split(text, ' '), x -> x IN (${ws.map(w => s"'$w'").mkString(",")}))) AS s_$l"
-      }.mkString(",\n    ")
       val keys = langDicts.map(_._1)
-      val pred = keys.init.zipWithIndex.map { case (l, i) =>
-        val rest = keys.drop(i + 1).map(k => s"s_$k")
-        s"WHEN s_$l >= greatest(${rest.mkString(",")}) THEN '$l'"
-      }.mkString(" ")
       s"""SELECT doc_id, ${keys.map(k => s"CAST(s_$k AS INT) AS s_$k").mkString(", ")},
-         |  CASE $pred ELSE '${keys.last}' END AS pred_lang
-         |FROM (SELECT doc_id, $scores FROM documents)
+         |  $predLangSqlD AS pred_lang
+         |FROM (SELECT doc_id, $langScoresSqlD FROM documents)
          |ORDER BY doc_id""".stripMargin
     }) { (s, d) =>
-      val withScores = langDicts.foldLeft(docs(s, d)) { case (df, (l, ws)) =>
-        df.withColumn(s"s_$l",
-          size(filter(split(col("text"), " "), x => x.isin(ws.map(_.asInstanceOf[Any]): _*)))
-            .cast("int"))
-      }
       val keys = langDicts.map(_._1)
-      val pred = keys.init.zipWithIndex.foldLeft(None: Option[Column]) {
-        case (acc, (l, i)) =>
-          val rest = keys.drop(i + 1).map(k => col(s"s_$k"))
-          val hi = if (rest.size == 1) rest.head else greatest(rest: _*)
-          val c = col(s"s_$l") >= hi
-          Some(acc match {
-            case None => when(c, l)
-            case Some(w) => w.when(c, l)
-          })
-      }.get.otherwise(keys.last)
-      withScores.select((Seq(col("doc_id")) ++ keys.map(k => col(s"s_$k")) :+
-        pred.as("pred_lang")): _*).orderBy("doc_id")
+      withLangScores(docs(s, d))
+        .select((Seq(col("doc_id")) ++ keys.map(k => col(s"s_$k")) :+
+          predLangCol.as("pred_lang")): _*).orderBy("doc_id")
     },
 
     // ---- quality scoring: integer basis-point ratios (engine-exact) —

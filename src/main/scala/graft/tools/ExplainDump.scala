@@ -59,7 +59,8 @@ object SparkEntryPlans {
     val byName = graft.SparkEntry.registry.map(q => q.name -> q).toMap
     Seq("c3_ioc", "c6_first_seen", "c7_frequency", "dd_minhash_lsh",
       "dd_ngram_jaccard", "c9b_alert_docs", "ann_topk_bruteforce", "q3_join_multi",
-      "p20_elapsed", "ann_lsh_multiprobe", "dd_simhash")
+      "p20_elapsed", "ann_lsh_multiprobe", "dd_simhash", "dd_cluster_cc",
+      "agg_percentile")
       .flatMap(n => byName.get(n).map(q => n -> q.fn(spark, sfDir)))
   }
 }
