@@ -155,15 +155,18 @@ object DataPipeQueries {
 
   /** Connected components of the near-dup pair graph by iterative min-label
     * propagation: one shuffle join keyed by node id per round, O(diameter)
-    * rounds (at corpus scale each round would also localCheckpoint to
-    * truncate lineage). Returns (node, comp) where comp = min doc_id of the
-    * component — the kept canonical doc. */
+    * rounds. Each round eagerly localCheckpoints — without it the logical
+    * plan DOUBLES per iteration (every round re-embeds the previous one),
+    * exploding optimizer time; with it every round plans against a
+    * materialized leaf, the scale-safe form of any iterative Spark loop.
+    * Returns (node, comp) where comp = min doc_id of the component — the
+    * kept canonical doc. */
   private def ccLabels(pairs: DataFrame): DataFrame = {
     val jp = cycle(pairs.select(col("i"), col("j")))
     val edges = jp.unionAll(jp.select(col("j").as("i"), col("i").as("j")))
-      .toDF("a", "b")
+      .toDF("a", "b").localCheckpoint()
     var labels = edges.select(col("a").as("node")).distinct()
-      .withColumn("comp", col("node")).persist()
+      .withColumn("comp", col("node")).localCheckpoint()
     var changed = 1L
     var iter = 0
     while (changed > 0 && iter < 20) {
@@ -174,9 +177,8 @@ object DataPipeQueries {
         .select(col("node"),
           least(col("comp"), coalesce(col("nbr_min"), col("comp"))).as("comp"),
           (coalesce(col("nbr_min"), col("comp")) < col("comp")).as("_chg"))
-        .persist()
+        .localCheckpoint()
       changed = next.filter(col("_chg")).count()
-      labels.unpersist()
       labels = next.drop("_chg")
       iter += 1
     }
