@@ -188,16 +188,17 @@ object Pipeline {
     * table doubles as the queryable enriched archive. */
   def routeViaTable(spark: SparkSession, enriched: DataFrame, conf: PipelineConf,
       outDir: String): Map[String, Long] = {
-    saltedBySeverity(enriched, conf.saltBuckets)
-      .write.mode("overwrite").parquet(s"$outDir/enriched")
-    val written = spark.read.parquet(s"$outDir/enriched")
-    saltedBySeverity(alertDocs(written.filter(col("routed"))), conf.saltBuckets)
-      .write.mode("overwrite").partitionBy("severity")
-      .parquet(s"$outDir/alerts_all")
-    rollupBySignature(written).write.mode("overwrite")
-      .parquet(s"$outDir/rollup_signature")
-    rollupBySink(written).write.mode("overwrite")
-      .parquet(s"$outDir/rollup_sink")
+    import graft.sources.Source
+    Source.writeTable(saltedBySeverity(enriched, conf.saltBuckets),
+      conf.sinkFormat, s"$outDir/enriched")
+    val written = Source.readTable(spark, conf.sinkFormat, s"$outDir/enriched")
+    Source.writeTable(
+      saltedBySeverity(alertDocs(written.filter(col("routed"))), conf.saltBuckets),
+      conf.sinkFormat, s"$outDir/alerts_all", partitionCols = Seq("severity"))
+    Source.writeTable(rollupBySignature(written), conf.sinkFormat,
+      s"$outDir/rollup_signature")
+    Source.writeTable(rollupBySink(written), conf.sinkFormat,
+      s"$outDir/rollup_sink")
     // per-sink counts from ONE pruned aggregation over the written table
     // (severity + routed columns only — not an observe over a full pass)
     val severities = conf.severityBands.map(_._2)
@@ -225,13 +226,13 @@ object Pipeline {
       // first: a partitioned write whose routed subset is empty drops
       // observed metrics entirely (Spark 4.1) and obs.get would hang
       cached.observe(obs, aggs.head, aggs.tail: _*).count()
-      saltedBySeverity(alertDocs(cached.filter(col("routed"))), conf.saltBuckets)
-        .write.mode("overwrite").partitionBy("severity")
-        .parquet(s"$outDir/alerts_all")
-      rollupBySignature(cached).write.mode("overwrite")
-        .parquet(s"$outDir/rollup_signature")
-      rollupBySink(cached).write.mode("overwrite")
-        .parquet(s"$outDir/rollup_sink")
+      graft.sources.Source.writeTable(
+        saltedBySeverity(alertDocs(cached.filter(col("routed"))), conf.saltBuckets),
+        conf.sinkFormat, s"$outDir/alerts_all", partitionCols = Seq("severity"))
+      graft.sources.Source.writeTable(rollupBySignature(cached), conf.sinkFormat,
+        s"$outDir/rollup_signature")
+      graft.sources.Source.writeTable(rollupBySink(cached), conf.sinkFormat,
+        s"$outDir/rollup_sink")
       val m = obs.get
       severities.map(s => s -> m(s"n_$s").asInstanceOf[Long]).toMap +
         ("total" -> m("n_total").asInstanceOf[Long])

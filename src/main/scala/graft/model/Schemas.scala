@@ -90,7 +90,11 @@ case class PipelineConf(
     freqScore: Int = 20,
     refScore: Int = 10,
     saltBuckets: Int = 8,
-    format: String = "parquet")
+    format: String = "parquet",
+    /** Format for the user-facing sink tables (alerts + rollups) — the sink
+      * side of the Source format seam. Engine checkpoint state is always
+      * parquet (see graft.sources.Source.writeTable). */
+    sinkFormat: String = "parquet")
 
 object PipelineConf {
   /** Fixture grok pattern (FIXTURES.md §1). */

@@ -81,7 +81,8 @@ object RuleLoader {
     *                 "severity_bands": [{"min": 0, "name": "low"},
     *                                    {"min": 50, "name": "high"}],
     *                 "grok_pattern": "%{WORD:action} ...",
-    *                 "grok_fallbacks": ["%{WORD:action} %{GREEDYDATA:rest}"]}
+    *                 "grok_fallbacks": ["%{WORD:action} %{GREEDYDATA:rest}"],
+    *                 "format": "iceberg", "sink_format": "iceberg"}
     * }}}
     *
     * Missing file or missing key ⇒ the base conf's value is kept. */
@@ -106,7 +107,9 @@ object RuleLoader {
       StructField("severity_bands", ArrayType(StructType(Seq(
         StructField("min", IntegerType), StructField("name", StringType))))),
       StructField("grok_pattern", StringType),
-      StructField("grok_fallbacks", ArrayType(StringType))))
+      StructField("grok_fallbacks", ArrayType(StringType)),
+      StructField("format", StringType),
+      StructField("sink_format", StringType)))
     val row = spark.read.schema(schema).option("multiLine", "true")
       .json(path).head()
     def arr(i: Int, dflt: Seq[String]): Seq[String] =
@@ -140,7 +143,9 @@ object RuleLoader {
       refScore = int(12, base.refScore),
       severityBands = bands,
       grokPattern = gp,
-      grokFallbacks = gf)
+      grokFallbacks = gf,
+      format = if (row.isNullAt(16)) base.format else row.getString(16),
+      sinkFormat = if (row.isNullAt(17)) base.sinkFormat else row.getString(17))
   }
 
   /** Conf for a config dir: `base` + the dir's mappings.json (if present). */

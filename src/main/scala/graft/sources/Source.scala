@@ -25,6 +25,23 @@ object Source {
   def readTable(spark: SparkSession, conf: PipelineConf, path: String): DataFrame =
     readTable(spark, conf.format, path)
 
+  /** Sink side of the format seam, mirroring [[readTable]]: user-facing sink
+    * writes (`Pipeline.route`/`routeViaTable` alert + rollup tables) go
+    * through here so `conf.sinkFormat` can point them at any DSv2 format
+    * ("iceberg" on the cluster; orc/json exercised in-sandbox by RouteSpec).
+    * Engine-owned checkpoint state stays parquet (Incremental's snapshot
+    * layout and its dynamic-partition-overwrite idempotency contract are
+    * parquet-path-based by design). */
+  def writeTable(df: DataFrame, format: String, path: String,
+      partitionCols: Seq[String] = Nil, mode: String = "overwrite"): Unit = {
+    val w0 = df.write.mode(mode)
+    val w = if (partitionCols.nonEmpty) w0.partitionBy(partitionCols: _*) else w0
+    format match {
+      case "parquet" => w.parquet(path)
+      case other => w.format(other).save(path)
+    }
+  }
+
   /** Rule/lookup tables of a pipeline dir (ioc / sig_rules / ref_baseline /
     * whitelist sub-tables). Rule and whitelist clauses are collected to the
     * driver BY CONTRACT (broadcast-small; they compile into the plan). */

@@ -46,4 +46,31 @@ class RouteSpec extends SparkSuite {
       || sinkPlan.contains("ReadSchema: struct<routed:boolean,severity:string>"),
       s"sink rollup scan must prune to (severity, routed):\n$sinkPlan")
   }
+
+  test("sinkFormat seam: orc sinks carry identical counts and alert docs") {
+    val fx = Gen.fixture(120)
+    val tb = RuleTables(fx.ioc.toDF(), fx.rules, fx.ref.toDF(), fx.whitelist)
+    val enriched = Pipeline.enrich(spark.createDataset(fx.turns).toDF(), tb, fx.conf)
+    val dP = Files.createTempDirectory("graft-sink-parquet").toString
+    val dO = Files.createTempDirectory("graft-sink-orc").toString
+
+    val cP = Pipeline.route(spark, enriched, fx.conf, dP)
+    val cO = Pipeline.route(spark, enriched, fx.conf.copy(sinkFormat = "orc"), dO)
+    assert(cP === cO)
+
+    def alerts(read: => org.apache.spark.sql.DataFrame) = read
+      .select("conv_id", "turn_idx", "note", "severity")
+      .collect().map(r => (r.getString(0), r.getInt(1), r.getInt(2), r.getString(3)))
+      .sortBy(t => (t._1, t._2)).toSeq
+    assert(alerts(spark.read.orc(s"$dO/alerts_all")) ===
+      alerts(spark.read.parquet(s"$dP/alerts_all")))
+
+    // routeViaTable through the seam too: the written enriched table and all
+    // derivations ride the configured format end-to-end
+    val dV = Files.createTempDirectory("graft-routevt-orc").toString
+    val cV = Pipeline.routeViaTable(spark, enriched,
+      fx.conf.copy(sinkFormat = "orc"), dV)
+    assert(cV === cP)
+    assert(spark.read.orc(s"$dV/rollup_sink").count() > 0)
+  }
 }

@@ -91,7 +91,8 @@ class RuleLoaderSpec extends SparkSuite {
         | "freq_key": "user",
         | "freq_threshold": 7, "fir_threshold": 45, "ref_score": 12,
         | "severity_bands": [{"min": 0, "name": "info"}, {"min": 45, "name": "alert"}],
-        | "grok_fallbacks": ["%{WORD:action} %{GREEDYDATA:uri}"]}""".stripMargin)
+        | "grok_fallbacks": ["%{WORD:action} %{GREEDYDATA:uri}"],
+        | "sink_format": "orc"}""".stripMargin)
     val fx = Gen.fixture(120)
     val conf = RuleLoader.confFromDir(spark, d.toString, fx.conf)
     assert(conf.fingerprintFields === Seq("action", "user", "dst_host"))
@@ -101,6 +102,7 @@ class RuleLoaderSpec extends SparkSuite {
     assert(conf.freqKey === "user")
     assert(conf.freqThreshold === 7 && conf.firThreshold === 45 && conf.refScore === 12)
     assert(conf.severityBands === Seq(0 -> "info", 45 -> "alert"))
+    assert(conf.sinkFormat === "orc" && conf.format === "parquet")
     assert(conf.freqWindowSec === fx.conf.freqWindowSec, "unset keys keep base values")
     assert(conf.grokFallbacks === Seq("%{WORD:action} %{GREEDYDATA:uri}"))
     assert(conf.grokPattern === fx.conf.grokPattern, "unset grok_pattern keeps base")
