@@ -224,6 +224,50 @@ object FilterQueries {
         .orderBy("conv_id", "turn_idx")
     },
 
+    // P37: the composite-grok path end-to-end — synthesize a combined-format
+    // Apache access line per parsed turn, then parse it back with the
+    // recursively-expanded %{COMBINEDAPACHELOG} library pattern. ONE compiled
+    // regex (GrokCompiler) runs in BOTH engines (the library is RE2-safe by
+    // construction), so the oracle exercises the same groups at the same
+    // indices.
+    Q("p37_grok_apache", {
+      import graft.functions.GrokCompiler
+      val g = GrokCompiler.compile("%{COMBINEDAPACHELOG}")
+      val rx = g.regex
+      sqlP(
+        ", al AS (SELECT conv_id, turn_idx, src_ip || ' - ' || usr || ' [' " +
+        "|| strftime(ts, '%d/%b/%Y:%H:%M:%S') || ' +0000] \"GET ' || uri " +
+        "|| ' HTTP/1.1\" ' || CAST(status AS VARCHAR) || ' ' " +
+        "|| CAST(length(text) AS VARCHAR) || ' \"-\" \"curl/8.5.0\"' AS line " +
+        "FROM parsed WHERE parse_ok) " +
+        // DuckDB's integer-group regexp_extract caps at group 9; the
+        // name-list form returns ALL groups as one struct in group order
+        s", px AS (SELECT conv_id, turn_idx, regexp_extract(line, '$rx', " +
+        g.fields.map(f => s"'$f'").mkString("[", ", ", "]") + ") AS p FROM al) " +
+        "SELECT conv_id, turn_idx, p.clientip AS clientip, " +
+        "p.\"timestamp\" AS ts_str, p.verb AS verb, p.request AS request, " +
+        "CAST(p.response AS INT) AS response, CAST(p.bytes AS INT) AS n_bytes, " +
+        "p.agent AS agent " +
+        "FROM px ORDER BY conv_id, turn_idx")
+    }) { (s, d) =>
+      import graft.functions.GrokCompiler
+      val g = GrokCompiler.compile("%{COMBINEDAPACHELOG}")
+      val rx = g.regex
+      def ex(f: String) = regexp_extract(col("line"), rx, g.groupOf(f))
+      P(s, d).filter(col("parse_ok"))
+        .withColumn("line", concat(
+          col("src_ip"), lit(" - "), col("user"), lit(" ["),
+          date_format(col("ts"), "dd/MMM/yyyy:HH:mm:ss"), lit(" +0000] \"GET "),
+          col("uri"), lit(" HTTP/1.1\" "), col("status").cast("string"), lit(" "),
+          length(col("text")).cast("string"), lit(" \"-\" \"curl/8.5.0\"")))
+        .select(col("conv_id"), col("turn_idx"),
+          ex("clientip").as("clientip"), ex("timestamp").as("ts_str"),
+          ex("verb").as("verb"), ex("request").as("request"),
+          ex("response").cast("int").as("response"),
+          ex("bytes").cast("int").as("n_bytes"), ex("agent").as("agent"))
+        .orderBy("conv_id", "turn_idx")
+    },
+
     // §2.6 widening: fixed-width integer histogram of text length per role —
     // bucket arithmetic is plain integer division so both engines agree
     // exactly; the 100-TB shape is a map-side-combined hash aggregate.

@@ -67,4 +67,55 @@ class GrokCompilerSpec extends AnyFunSuite {
     // all patterns miss -> null row (_grokparsefailure)
     assert(m.matchRow(UTF8String.fromString("??? !!! ...")) == null)
   }
+
+  test("composite library patterns expand recursively (COMBINEDAPACHELOG)") {
+    val g = GrokCompiler.compile("%{COMBINEDAPACHELOG}")
+    assert(g.fields === Seq("clientip", "ident", "auth", "timestamp", "verb",
+      "request", "httpversion", "rawrequest", "response", "bytes",
+      "referrer", "agent"))
+    val line = "203.0.113.9 - frank [10/Oct/2000:13:55:36 -0700] " +
+      "\"GET /apache_pb.gif HTTP/1.0\" 200 2326 " +
+      "\"http://www.example.com/start.html\" \"Mozilla/4.08 (Macintosh)\""
+    val m = java.util.regex.Pattern.compile(g.regex).matcher(line)
+    assert(m.find(), s"COMBINEDAPACHELOG must match:\n${g.regex}")
+    assert(m.group(g.groupOf("clientip")) === "203.0.113.9")
+    assert(m.group(g.groupOf("auth")) === "frank")
+    assert(m.group(g.groupOf("timestamp")) === "10/Oct/2000:13:55:36 -0700")
+    assert(m.group(g.groupOf("verb")) === "GET")
+    assert(m.group(g.groupOf("request")) === "/apache_pb.gif")
+    assert(m.group(g.groupOf("httpversion")) === "1.0")
+    assert(m.group(g.groupOf("response")) === "200")
+    assert(m.group(g.groupOf("bytes")) === "2326")
+    assert(m.group(g.groupOf("referrer")) === "\"http://www.example.com/start.html\"")
+    assert(m.group(g.groupOf("agent")) === "\"Mozilla/4.08 (Macintosh)\"")
+    // outer-before-inner capture order: a FIELD-named composite ref captures
+    // the whole expansion as its own group, nested fields follow
+    val g2 = GrokCompiler.compile("%{TIME:t} up")
+    val m2 = java.util.regex.Pattern.compile(g2.regex).matcher("13:55:36 up")
+    assert(m2.find() && m2.group(g2.groupOf("t")) === "13:55:36")
+  }
+
+  test("library entries with more date/uri shapes match and stay RE2-safe") {
+    def one(pat: String, s: String): Boolean = {
+      val g = GrokCompiler.compile(pat)
+      java.util.regex.Pattern.compile(g.regex).matcher(s).find()
+    }
+    assert(one("%{TIMESTAMP_ISO8601:ts}", "2026-08-17T01:55:36.123+02:00"))
+    assert(one("%{SYSLOGTIMESTAMP:ts}", "Jan  1 00:00:09"))
+    assert(one("%{URI:u}", "https://user@www.example.com:8443/a/b?q=1"))
+    assert(one("%{UUID:u}", "123e4567-e89b-42d3-a456-426614174000"))
+    assert(one("%{MAC:m}", "0a:1b:2c:3d:4e:5f"))
+    assert(one("%{LOGLEVEL:l} boom", "ERROR boom"))
+    // no backreferences / lookaround anywhere in the library (RE2-safe)
+    GrokCompiler.Library.values.foreach { p =>
+      assert(!p.contains("(?<") && !p.contains("(?=") && !p.contains("(?!")
+        && !p.contains("\\1") && !p.contains("(?>"), s"non-RE2-safe: $p")
+    }
+  }
+
+  test("reference cycles fail at compile with a clear error") {
+    val lib = GrokCompiler.Library ++ Map("LOOPA" -> "%{LOOPB}", "LOOPB" -> "%{LOOPA}")
+    val e = intercept[IllegalArgumentException](GrokCompiler.compile("%{LOOPA:x}", lib))
+    assert(e.getMessage.contains("cycle"))
+  }
 }
