@@ -191,7 +191,10 @@ object Pipeline {
     import graft.sources.Source
     Source.writeTable(saltedBySeverity(enriched, conf.saltBuckets),
       conf.sinkFormat, s"$outDir/enriched")
-    val written = Source.readTable(spark, conf.sinkFormat, s"$outDir/enriched")
+    // read back with the KNOWN schema: schema-light sink formats (json/csv)
+    // would otherwise infer drifted types and drop all-null columns
+    val written = Source.readTable(spark, conf.sinkFormat, s"$outDir/enriched",
+      schema = Some(enriched.schema))
     Source.writeTable(
       saltedBySeverity(alertDocs(written.filter(col("routed"))), conf.saltBuckets),
       conf.sinkFormat, s"$outDir/alerts_all", partitionCols = Seq("severity"))

@@ -113,6 +113,27 @@ object DataPipeQueries {
     s"CASE $cases ELSE '${keys.last}' END"
   }
 
+  /** DuckDB recursive-CTE oracle of the near-dup CC labels (shared by
+    * dd_cluster_cc and ta_curation — one definition, two queries): verified
+    * Jaccard pairs -> undirected edges -> transitive closure -> min label. */
+  private val ccOracleCtes: String =
+    s"""sh AS (
+       |  SELECT doc_id, unnest($shinglesSqlD) AS sh,
+       |    len($shinglesSqlD) AS nsh
+       |  FROM documents WHERE len(str_split(text, ' ')) >= 3),
+       |pairs AS (
+       |  SELECT a.doc_id AS i, b.doc_id AS j, count(*) AS inter,
+       |    any_value(a.nsh) AS na, any_value(b.nsh) AS nb
+       |  FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+       |  GROUP BY a.doc_id, b.doc_id),
+       |jp AS (SELECT i, j FROM pairs WHERE 3 * inter >= na + nb),
+       |edges AS (SELECT i AS a, j AS b FROM jp UNION ALL SELECT j, i FROM jp),
+       |reach(node, r) AS (
+       |  SELECT DISTINCT a, a FROM edges
+       |  UNION
+       |  SELECT e.a, reach.r FROM edges e JOIN reach ON reach.node = e.b),
+       |lab AS (SELECT node, min(r) AS comp FROM reach GROUP BY node)""".stripMargin
+
   /** Verified n-gram-Jaccard near-dup pairs (threshold 1/2), Spark side —
     * the EXACT prefix-filtered AllPairs join (see dd_ngram_jaccard for the
     * algorithm notes). Returns (i, j, inter, na, nb); shared by
@@ -162,14 +183,17 @@ object DataPipeQueries {
     * Returns (node, comp) where comp = min doc_id of the component — the
     * kept canonical doc. */
   private def ccLabels(pairs: DataFrame): DataFrame = {
-    val jp = cycle(pairs.select(col("i"), col("j")))
+    // retain (NOT cycle): jaccardVerified already cycled its docsh cache for
+    // this query; cycling again here would evict it before materialization
+    val jp = QueryCache.retain(pairs.select(col("i"), col("j")))
     val edges = jp.unionAll(jp.select(col("j").as("i"), col("i").as("j")))
       .toDF("a", "b").localCheckpoint()
     var labels = edges.select(col("a").as("node")).distinct()
       .withColumn("comp", col("node")).localCheckpoint()
     var changed = 1L
     var iter = 0
-    while (changed > 0 && iter < 20) {
+    val MaxIter = 64
+    while (changed > 0 && iter < MaxIter) {
       val nbr = edges
         .join(labels.select(col("node").as("b"), col("comp").as("nc")), "b")
         .groupBy(col("a").as("node")).agg(min(col("nc")).as("nbr_min"))
@@ -182,6 +206,11 @@ object DataPipeQueries {
       labels = next.drop("_chg")
       iter += 1
     }
+    // a silent non-converged exit would return WRONG labels (and disagree
+    // with the oracle's exact transitive closure) — fail loud instead
+    require(changed == 0,
+      s"connected components did not converge within $MaxIter rounds " +
+        "(pair-graph diameter too large?)")
     labels
   }
 
@@ -237,22 +266,7 @@ object DataPipeQueries {
     // lineage). Oracle: DuckDB recursive CTE computing the same transitive
     // closure. comp = min doc_id of the component = the kept canonical doc.
     Q("dd_cluster_cc",
-      s"""WITH RECURSIVE sh AS (
-         |  SELECT doc_id, unnest($shinglesSqlD) AS sh,
-         |    len($shinglesSqlD) AS nsh
-         |  FROM documents WHERE len(str_split(text, ' ')) >= 3),
-         |pairs AS (
-         |  SELECT a.doc_id AS i, b.doc_id AS j, count(*) AS inter,
-         |    any_value(a.nsh) AS na, any_value(b.nsh) AS nb
-         |  FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
-         |  GROUP BY a.doc_id, b.doc_id),
-         |jp AS (SELECT i, j FROM pairs WHERE 3 * inter >= na + nb),
-         |edges AS (SELECT i AS a, j AS b FROM jp UNION ALL SELECT j, i FROM jp),
-         |reach(node, r) AS (
-         |  SELECT DISTINCT a, a FROM edges
-         |  UNION
-         |  SELECT e.a, reach.r FROM edges e JOIN reach ON reach.node = e.b),
-         |lab AS (SELECT node, min(r) AS comp FROM reach GROUP BY node)
+      s"""WITH RECURSIVE $ccOracleCtes
          |SELECT CAST(node AS BIGINT) AS doc_id, CAST(comp AS BIGINT) AS comp,
          |  CAST(count(*) OVER (PARTITION BY comp) AS BIGINT) AS n_members
          |FROM lab ORDER BY doc_id""".stripMargin) { (s, d) =>
@@ -271,22 +285,7 @@ object DataPipeQueries {
     // cluster). All pieces are the already-differential operators composed
     // into one plan: narrow feature projections + the CC loser anti-join.
     Q("ta_curation",
-      s"""WITH RECURSIVE sh AS (
-         |  SELECT doc_id, unnest($shinglesSqlD) AS sh,
-         |    len($shinglesSqlD) AS nsh
-         |  FROM documents WHERE len(str_split(text, ' ')) >= 3),
-         |pairs AS (
-         |  SELECT a.doc_id AS i, b.doc_id AS j, count(*) AS inter,
-         |    any_value(a.nsh) AS na, any_value(b.nsh) AS nb
-         |  FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
-         |  GROUP BY a.doc_id, b.doc_id),
-         |jp AS (SELECT i, j FROM pairs WHERE 3 * inter >= na + nb),
-         |edges AS (SELECT i AS a, j AS b FROM jp UNION ALL SELECT j, i FROM jp),
-         |reach(node, r) AS (
-         |  SELECT DISTINCT a, a FROM edges
-         |  UNION
-         |  SELECT e.a, reach.r FROM edges e JOIN reach ON reach.node = e.b),
-         |lab AS (SELECT node, min(r) AS comp FROM reach GROUP BY node),
+      s"""WITH RECURSIVE $ccOracleCtes,
          |losers AS (SELECT node AS doc_id FROM lab WHERE node != comp),
          |f AS (SELECT doc_id, $langScoresSqlD,
          |    len(str_split(text, ' ')) AS nw,

@@ -70,7 +70,8 @@ object FilterQueries {
       """SELECT conv_id, turn_idx, dst_host,
         |  regexp_extract(dst_host, '\.([^.]+)$', 1) AS tld,
         |  regexp_extract(dst_host, '([^.]+\.[^.]+)$', 1) AS domain,
-        |  CASE WHEN length(dst_host) > length(regexp_extract(dst_host, '([^.]+\.[^.]+)$', 1))
+        |  CASE WHEN regexp_extract(dst_host, '([^.]+\.[^.]+)$', 1) != ''
+        |        AND length(dst_host) > length(regexp_extract(dst_host, '([^.]+\.[^.]+)$', 1))
         |       THEN left(dst_host, length(dst_host) - length(regexp_extract(dst_host, '([^.]+\.[^.]+)$', 1)) - 1)
         |       ELSE '' END AS subdomain
         |FROM parsed WHERE parse_ok AND dst_host IS NOT NULL
@@ -80,7 +81,9 @@ object FilterQueries {
         .select(col("conv_id"), col("turn_idx"), col("dst_host"),
           regexp_extract(col("dst_host"), "\\.([^.]+)$", 1).as("tld"),
           dom.as("domain"),
-          when(length(col("dst_host")) > length(dom),
+          // a dot-less host has NO registered domain: without the dom =!= ""
+          // guard the left() arithmetic would chop its last character
+          when(dom =!= "" && length(col("dst_host")) > length(dom),
             expr("left(dst_host, length(dst_host) - length(regexp_extract(dst_host, '([^.]+\\\\.[^.]+)$', 1)) - 1)"))
             .otherwise("").as("subdomain"))
         .orderBy("conv_id", "turn_idx")

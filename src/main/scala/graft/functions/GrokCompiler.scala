@@ -34,7 +34,7 @@ object GrokCompiler {
     "BASE10NUM"  -> "[+-]?(?:[0-9]+(?:\\.[0-9]+)?|\\.[0-9]+)",
     "BASE16NUM"  -> "(?:0[xX])?[0-9a-fA-F]+",
     "IP"         -> "(?:\\d{1,3}\\.){3}\\d{1,3}",
-    "IPV6"       -> "(?:[0-9A-Fa-f]{1,4}:){7}[0-9A-Fa-f]{1,4}|(?:[0-9A-Fa-f]{1,4}:)+:(?:[0-9A-Fa-f]{1,4}(?::[0-9A-Fa-f]{1,4})*)?",
+    "IPV6"       -> "(?:(?:[0-9A-Fa-f]{1,4}:){7}[0-9A-Fa-f]{1,4}|(?:[0-9A-Fa-f]{1,4}:){1,7}:|(?:[0-9A-Fa-f]{1,4}:){1,6}(?::[0-9A-Fa-f]{1,4}){1,6}|:(?::[0-9A-Fa-f]{1,4}){1,7}|::)",
     "HOST"       -> "[a-zA-Z0-9._-]+",
     "HOSTNAME"   -> "[a-zA-Z0-9._-]+",
     "IPORHOST"   -> "(?:%{IP}|%{HOSTNAME})",
@@ -43,7 +43,7 @@ object GrokCompiler {
     "MAC"        -> "(?:[A-Fa-f0-9]{2}:){5}[A-Fa-f0-9]{2}",
     "COMMONMAC"  -> "(?:[A-Fa-f0-9]{2}:){5}[A-Fa-f0-9]{2}",
     "EMAILADDRESS" -> "[a-zA-Z0-9_.+-]+@[a-zA-Z0-9-]+(?:\\.[a-zA-Z0-9-]+)+",
-    "QUOTEDSTRING" -> "\"(?:\\\\.|[^\"\\\\]+)*\"",
+    "QUOTEDSTRING" -> "\"(?:\\\\.|[^\"\\\\])*\"",  // single-char alternatives: (X+)* would backtrack exponentially on an unterminated quote
     "QS"         -> "%{QUOTEDSTRING}",
     "NOTSPACE"   -> "\\S+",
     "DATA"       -> ".*?",

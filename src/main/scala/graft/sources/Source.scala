@@ -16,11 +16,15 @@ import graft.model.{PipelineConf, SigRule, WhitelistRule}
   * format). */
 object Source {
 
-  def readTable(spark: SparkSession, format: String, path: String): DataFrame =
+  def readTable(spark: SparkSession, format: String, path: String,
+      schema: Option[org.apache.spark.sql.types.StructType] = None): DataFrame = {
+    val r0 = spark.read
+    val r = schema.fold(r0)(r0.schema)
     format match {
-      case "parquet" => spark.read.parquet(path)
-      case other => spark.read.format(other).load(path)
+      case "parquet" => r.parquet(path)
+      case other => r.format(other).load(path)
     }
+  }
 
   def readTable(spark: SparkSession, conf: PipelineConf, path: String): DataFrame =
     readTable(spark, conf.format, path)
@@ -28,10 +32,12 @@ object Source {
   /** Sink side of the format seam, mirroring [[readTable]]: user-facing sink
     * writes (`Pipeline.route`/`routeViaTable` alert + rollup tables) go
     * through here so `conf.sinkFormat` can point them at any DSv2 format
-    * ("iceberg" on the cluster; orc/json exercised in-sandbox by RouteSpec).
-    * Engine-owned checkpoint state stays parquet (Incremental's snapshot
-    * layout and its dynamic-partition-overwrite idempotency contract are
-    * parquet-path-based by design). */
+    * ("iceberg" on the cluster; orc and json exercised in-sandbox by
+    * RouteSpec — schema-light formats like json need the read-back schema
+    * `routeViaTable` supplies, or inference drifts types and drops
+    * all-null columns). Engine-owned checkpoint state stays parquet
+    * (Incremental's snapshot layout and its dynamic-partition-overwrite
+    * idempotency contract are parquet-path-based by design). */
   def writeTable(df: DataFrame, format: String, path: String,
       partitionCols: Seq[String] = Nil, mode: String = "overwrite"): Unit = {
     val w0 = df.write.mode(mode)

@@ -105,12 +105,30 @@ class GrokCompilerSpec extends AnyFunSuite {
     assert(one("%{URI:u}", "https://user@www.example.com:8443/a/b?q=1"))
     assert(one("%{UUID:u}", "123e4567-e89b-42d3-a456-426614174000"))
     assert(one("%{MAC:m}", "0a:1b:2c:3d:4e:5f"))
+    assert(one("%{IPV6:i}", "2001:db8:85a3::8a2e:370:7334"))
+    assert(one("%{IPV6:i}", "::1"))
+    assert(one("%{IPV6:i}", "::"))
+    assert(one("%{IPV6:i}", "fe80::"))
     assert(one("%{LOGLEVEL:l} boom", "ERROR boom"))
     // no backreferences / lookaround anywhere in the library (RE2-safe)
     GrokCompiler.Library.values.foreach { p =>
       assert(!p.contains("(?<") && !p.contains("(?=") && !p.contains("(?!")
         && !p.contains("\\1") && !p.contains("(?>"), s"non-RE2-safe: $p")
     }
+  }
+
+  test("unterminated quoted string fails fast (no exponential backtracking)") {
+    val g = GrokCompiler.compile("%{COMBINEDAPACHELOG}")
+    // agent quote never closes; an ambiguous (X+)* QUOTEDSTRING would hang
+    // here for hours — the single-char-alternative form must reject in
+    // linear time
+    val line = "203.0.113.9 - frank [10/Oct/2000:13:55:36 -0700] " +
+      "\"GET /x HTTP/1.0\" 200 10 \"-\" \"Mozilla/5.0 (X11; Linux x86_64" +
+      "a" * 120
+    val t0 = System.nanoTime()
+    assert(!java.util.regex.Pattern.compile(g.regex).matcher(line).find())
+    assert((System.nanoTime() - t0) / 1e9 < 5.0,
+      "regex must not backtrack exponentially")
   }
 
   test("reference cycles fail at compile with a clear error") {

@@ -72,5 +72,12 @@ class RouteSpec extends SparkSuite {
       fx.conf.copy(sinkFormat = "orc"), dV)
     assert(cV === cP)
     assert(spark.read.orc(s"$dV/rollup_sink").count() > 0)
+
+    // json is the schema-light stress: the write loses types and all-null
+    // columns, so the read-back schema routeViaTable supplies is load-bearing
+    val dJ = Files.createTempDirectory("graft-routevt-json").toString
+    val cJ = Pipeline.routeViaTable(spark, enriched,
+      fx.conf.copy(sinkFormat = "json"), dJ)
+    assert(cJ === cP)
   }
 }
