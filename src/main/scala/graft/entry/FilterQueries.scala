@@ -285,6 +285,57 @@ object FilterQueries {
         .orderBy("role", "bucket")
     },
 
+    // P38: gap-based sessionization — Spark's native session_window (1-hour
+    // inactivity gap) vs the oracle's lag/flag/cumulative-sum rendering of
+    // the same semantics. The log-pipeline "split a conversation into
+    // visits" op; in streaming the same call works under a watermark.
+    Q("p38_sessionize", sqlT(
+      """SELECT conv_id, CAST(min(ts_s) AS BIGINT) AS session_start,
+        |  CAST(max(ts_s) AS BIGINT) AS session_last, count(*) AS n_events
+        |FROM (
+        |  SELECT conv_id, ts_s, sum(new_s) OVER (
+        |    PARTITION BY conv_id ORDER BY ts_s, turn_idx
+        |    ROWS UNBOUNDED PRECEDING) AS sess
+        |  FROM (
+        |    SELECT conv_id, turn_idx, CAST(floor(epoch(ts)) AS BIGINT) AS ts_s,
+        |      CASE WHEN lag(CAST(floor(epoch(ts)) AS BIGINT)) OVER (
+        |          PARTITION BY conv_id ORDER BY ts, turn_idx) IS NULL THEN 1
+        |        WHEN CAST(floor(epoch(ts)) AS BIGINT)
+        |          - lag(CAST(floor(epoch(ts)) AS BIGINT)) OVER (
+        |            PARTITION BY conv_id ORDER BY ts, turn_idx) >= 3600 THEN 1
+        |        ELSE 0 END AS new_s
+        |    FROM turns))
+        |GROUP BY conv_id, sess ORDER BY conv_id, session_start""".stripMargin)) { (s, d) =>
+      T(s, d)
+        .groupBy(col("conv_id"), session_window(col("ts"), "1 hour").as("w"))
+        .agg(min(unix_timestamp(col("ts"))).as("session_start"),
+          max(unix_timestamp(col("ts"))).as("session_last"),
+          count(lit(1)).as("n_events"))
+        .select(col("conv_id"), col("session_start"), col("session_last"),
+          col("n_events"))
+        .orderBy("conv_id", "session_start")
+    },
+
+    // §2.6 widening: pivot — per-role event counts pivoted across status
+    // classes (Spark `pivot` with a pinned column list == the oracle's
+    // conditional aggregation; pinning the list keeps the plan a single
+    // hash aggregate, no distinct-values pre-pass).
+    Q("agg_pivot", sqlP(
+      """SELECT role,
+        |  CAST(coalesce(sum(CASE WHEN status < 300 THEN 1 END), 0) AS BIGINT) AS ok,
+        |  CAST(coalesce(sum(CASE WHEN status >= 400 AND status < 500 THEN 1 END), 0) AS BIGINT) AS client_err,
+        |  CAST(coalesce(sum(CASE WHEN status >= 500 THEN 1 END), 0) AS BIGINT) AS server_err
+        |FROM parsed WHERE parse_ok GROUP BY role ORDER BY role""".stripMargin)) { (s, d) =>
+      P(s, d).filter(col("parse_ok"))
+        .withColumn("cls", when(col("status") < 300, "ok")
+          .when(col("status") >= 400 && col("status") < 500, "client_err")
+          .when(col("status") >= 500, "server_err"))
+        .groupBy(col("role")).pivot("cls", Seq("ok", "client_err", "server_err"))
+        .agg(coalesce(count(lit(1)), lit(0L)))
+        .na.fill(0L, Seq("ok", "client_err", "server_err"))
+        .orderBy("role")
+    },
+
     // §2.6 widening: exact linear-interpolated percentiles of status per
     // action (Spark `percentile` == DuckDB `quantile_cont`), rounded to 4dp
     // to keep the differential stable across float formatting.
