@@ -92,6 +92,29 @@ object Incremental {
       firedBuckets = loadLatest(spark, stateDir, "fired")
         .map(_.select("key", "reset_bucket")))
 
+  /** Ops surface for the north rule's "lineage + metrics": every COMPLETED
+    * run's manifest as ONE queryable DataFrame — run_id, the pointer to its
+    * distributed input-file lineage table, and each per-stage observe
+    * counter / per-sink count as a long column. Manifests are tiny one-doc
+    * JSON files (one per run), so this stays driver-cheap at any data scale;
+    * the full per-run file lineage lives in the `run-<id>/input_files`
+    * parquet tables the report points to. */
+  def runsReport(spark: org.apache.spark.sql.SparkSession,
+      stateDir: String): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions.{col, expr}
+    val runs = completedRuns(stateDir)
+    if (runs.isEmpty)
+      spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        org.apache.spark.sql.types.StructType.fromDDL("run_id string"))
+    else
+      spark.read.option("multiLine", "true")
+        .json(runs.map(r => s"$stateDir/manifest/run-$r.json"): _*)
+        .select(col("run_id") +: col("input_files_table") +:
+          Seq(col("metrics.*")): _*)
+        .orderBy(expr("try_cast(run_id AS BIGINT)"), col("run_id"))
+  }
+
   /** Drop the STATE TABLES of runs older than the latest `keep` completed
     * runs. Snapshots are full, so only the latest run's state is ever read;
     * older run dirs exist solely for audit/rollback, and at one snapshot per

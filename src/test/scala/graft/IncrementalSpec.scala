@@ -108,6 +108,39 @@ class IncrementalSpec extends SparkSuite {
     assert(Incremental.readAlerts(spark, stateDir, outDir).count() === n)
   }
 
+  test("runsReport: manifests queryable as one DataFrame (metrics + lineage pointer)") {
+    val fx = Gen.fixture(100)
+    val tb = tables(fx)
+    val cutoff = {
+      val ts = fx.turns.map(_.ts.getTime).sorted
+      ts(ts.size / 2)
+    }
+    val a = fx.turns.filter(_.ts.getTime < cutoff)
+    val b = fx.turns.filter(_.ts.getTime >= cutoff)
+    val stateDir = Files.createTempDirectory("graft-state").toString
+    val outDir = Files.createTempDirectory("graft-out").toString
+    assert(Incremental.runsReport(spark, stateDir).count() === 0L)
+
+    val r1 = Incremental.run(spark, spark.createDataset(a).toDF(), tb, fx.conf,
+      stateDir, outDir, "0001")
+    val r2 = Incremental.run(spark, spark.createDataset(b).toDF(), tb, fx.conf,
+      stateDir, outDir, "0002")
+    val rep = Incremental.runsReport(spark, stateDir)
+    assert(rep.count() === 2L)
+    val byRun = rep.collect().map(r => r.getAs[String]("run_id") -> r).toMap
+    assert(byRun("0001").getAs[Long]("n_input") === a.size.toLong)
+    assert(byRun("0002").getAs[Long]("n_input") === b.size.toLong)
+    // the report's per-sink counts equal what run() itself returned
+    fx.conf.severityBands.map(_._2).foreach { sev =>
+      assert(byRun("0002").getAs[Long](s"sink_$sev") === r2.sinkCounts(sev))
+      assert(byRun("0001").getAs[Long](s"sink_$sev") === r1.sinkCounts(sev))
+    }
+    // lineage pointer resolves to the distributed input-files table
+    val ptr = byRun("0001").getAs[String]("input_files_table")
+    val files = spark.read.parquet(s"$stateDir/$ptr")
+    assert(files.count() === byRun("0001").getAs[Long]("n_input_files"))
+  }
+
   test("5-run chain: alerts equal single run; state snapshot bounded to trailing window") {
     val fx = Gen.fixture(300)
     val tb = tables(fx)
