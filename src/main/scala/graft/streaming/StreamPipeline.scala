@@ -338,4 +338,19 @@ object StreamPipeline {
     q.processAllAvailable()
     q.stop()
   }
+
+  /** P38 streaming twin: gap-based sessionization with the SAME native
+    * session_window call as the batch query, under a watermark. In Append
+    * mode a session emits once CLOSED — i.e. once the watermark passes its
+    * end (last event + gap); still-open sessions stay in state. Exact parity
+    * with the batch sessions whose end the final watermark passed is pinned
+    * in StreamingSpec. */
+  def sessionizeStream(turns: DataFrame, gap: String): DataFrame =
+    turns.withWatermark("ts", "0 seconds")
+      .groupBy(col("conv_id"), session_window(col("ts"), gap).as("w"))
+      .agg(min(unix_timestamp(col("ts"))).as("session_start"),
+        max(unix_timestamp(col("ts"))).as("session_last"),
+        count(lit(1)).as("n_events"))
+      .select(col("conv_id"), col("session_start"), col("session_last"),
+        col("n_events"))
 }

@@ -218,6 +218,32 @@ class StreamingSpec extends SparkSuite {
       .collect().map(key).sortBy(t => (t._1, t._2)).toSeq
     assert(got2 === want)
   }
+
+  test("streaming sessionize (session_window + watermark): closed sessions == batch sessions past the final watermark") {
+    val gapSec = 3600L
+    def key(df: DataFrame) = df
+      .select("conv_id", "session_start", "session_last", "n_events")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .sortBy(t => (t._1, t._2)).toSeq
+
+    val got = key(runToMemory(
+      StreamPipeline.sessionizeStream(streamTurns, "1 hour"), "sess"))
+
+    val batch = spark.createDataset(fx.turns).toDF()
+      .groupBy(col("conv_id"), session_window(col("ts"), "1 hour").as("w"))
+      .agg(min(unix_timestamp(col("ts"))).as("session_start"),
+        max(unix_timestamp(col("ts"))).as("session_last"),
+        count(lit(1)).as("n_events"))
+    val maxTs = fx.turns.map(_.ts.getTime / 1000L).max
+    // Append emits a session once the final watermark (= max event time,
+    // 0s delay) passes its end = last + gap; later sessions stay open
+    val wantClosed = key(batch.filter(col("session_last") + gapSec <= maxTs))
+
+    assert(got.nonEmpty, "no sessions closed — fixture too short for the gap")
+    assert(got === wantClosed)
+    // and the open tail really exists (the watermark is doing something)
+    assert(key(batch).size > wantClosed.size)
+  }
 }
 
 /** Exposes the parse step on a streaming DF for the targeted C6/C7 tests. */
