@@ -61,6 +61,7 @@ object ScalingBench {
     val nConvs = if (args.length > 1) args(1).toInt else 500000
     val nLow = if (args.length > 2) args(2).toInt else 8
     val nHigh = if (args.length > 3) args(3).toInt else 32
+    val nPasses = if (args.length > 4) args(4).toInt else 3
     val cores = Runtime.getRuntime.availableProcessors
 
     // ---- generate once (chunked, parallel: one generator task per chunk)
@@ -95,7 +96,7 @@ object ScalingBench {
       try {
         val w = onePass(s, benchDir)
         System.err.println(s"level $cpus warmup: ${w._3}")
-        val passes = (1 to 3).map { i =>
+        val passes = (1 to nPasses).map { i =>
           val r = onePass(s, benchDir)
           System.err.println(s"level $cpus pass$i: ${r._3}")
           r
