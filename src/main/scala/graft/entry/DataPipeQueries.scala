@@ -73,6 +73,46 @@ object DataPipeQueries {
       |              CASE WHEN substring(qb, i, 1) = '1' THEN '0' ELSE '1' END,
       |              substring(qb, i + 1, 8)) END)""".stripMargin)
 
+  // ---- seeded random-hyperplane LSH (r4): 8 tables × 8 Rademacher planes,
+  // inlined as constants into both engines; Hamming-1 multi-probe per table.
+  // Sign decisions ride bit-exact left-assoc double sums (see Hyperplanes).
+  private val RpTables = 8
+  private val rpPlanes = graft.operators.Hyperplanes.planes(7L, RpTables, 8, 64)
+  private def rpIdxCol(vd: Column): Column = explode(array((0 until RpTables).map(t =>
+    struct(lit(t).as("t"),
+      graft.operators.Hyperplanes.bucketCol(vd, rpPlanes(t)).as("bk"))): _*))
+  private def rpIdxSqlD: String = (0 until RpTables).map(t =>
+    s"SELECT vec_id, embedding, $t AS t, " +
+      s"${graft.operators.Hyperplanes.bucketSql(rpPlanes(t), "embedding")} AS bk " +
+      "FROM embeddings").mkString("\nUNION ALL\n")
+  private val rpProbeSqlD: String =
+    "unnest(list_transform(range(0, 9), i -> CASE WHEN i = 0 THEN bk " +
+      "ELSE substr(bk, 1, i - 1) || (CASE WHEN substr(bk, i, 1) = '1' " +
+      "THEN '0' ELSE '1' END) || substr(bk, i + 1) END))"
+
+  // trained-IVF knobs (r4): k=16 centroids, 3 Lloyd iterations, nprobe=3
+  private val IvfK = 16
+  private val IvfIters = 3
+  private val IvfProbes = 3
+
+  /** Non-overlapping 10-word segment windows of `text`, as
+    * struct(seg_idx, seg) — the CCNet-style "line" unit for boilerplate
+    * removal (dd_line_dedup). */
+  private def segWindowsExpr: Column = expr(
+    """transform(
+      |  sequence(0, CAST(floor((size(split(text, ' ')) + 9) / 10) AS INT) - 1),
+      |  k -> struct(k AS seg_idx,
+      |    array_join(slice(split(text, ' '), k * 10 + 1, 10), ' ') AS seg))""".stripMargin)
+
+  /** Distinct md5-hashed word-8-gram shingles of `text` (contamination
+    * screen); single-line DuckDB twin below. */
+  private def gram8Expr: Column = expr(
+    """array_distinct(transform(sequence(0, size(split(text, ' ')) - 8),
+      |  i -> md5(array_join(slice(split(text, ' '), i + 1, 8), ' '))))""".stripMargin)
+  private val gram8SqlD: String =
+    "list_distinct(list_transform(range(len(str_split(text, ' ')) - 7), " +
+      "i -> md5(array_to_string(str_split(text, ' ')[i + 1 : i + 8], ' '))))"
+
   // stopword dictionaries for the language-ID heuristic
   private val langDicts: Seq[(String, Seq[String])] = Seq(
     "en" -> Seq("the", "and", "of", "to", "a", "fast", "slow"),
@@ -175,11 +215,18 @@ object DataPipeQueries {
   }
 
   /** Connected components of the near-dup pair graph by iterative min-label
-    * propagation: one shuffle join keyed by node id per round, O(diameter)
-    * rounds. Each round eagerly localCheckpoints — without it the logical
-    * plan DOUBLES per iteration (every round re-embeds the previous one),
-    * exploding optimizer time; with it every round plans against a
-    * materialized leaf, the scale-safe form of any iterative Spark loop.
+    * propagation WITH pointer-doubling: each round (a) takes the min comp
+    * over graph neighbours (one shuffle join keyed by node id) and then
+    * (b) shortcuts comp := comp(comp) via a labels self-join — the classic
+    * path-halving step, so rounds grow O(log diameter) instead of
+    * O(diameter) and a templated-corpus chain of length 10^6 converges in
+    * ~20 rounds, not 10^6 (ADVICE r3). Each round eagerly localCheckpoints —
+    * without it the logical plan DOUBLES per iteration (every round
+    * re-embeds the previous one), exploding optimizer time; with it every
+    * round plans against a materialized leaf, the scale-safe form of any
+    * iterative Spark loop. The round cap is configurable via
+    * `spark.graft.cc.maxIter` (default 64 — with doubling that covers
+    * diameters ~2^64, so hitting it means a real bug, and it fails loud).
     * Returns (node, comp) where comp = min doc_id of the component — the
     * kept canonical doc. */
   private def ccLabels(pairs: DataFrame): DataFrame = {
@@ -192,15 +239,28 @@ object DataPipeQueries {
       .withColumn("comp", col("node")).localCheckpoint()
     var changed = 1L
     var iter = 0
-    val MaxIter = 64
+    val MaxIter = pairs.sparkSession.conf
+      .getOption("spark.graft.cc.maxIter").map(_.toInt).getOrElse(64)
     while (changed > 0 && iter < MaxIter) {
       val nbr = edges
         .join(labels.select(col("node").as("b"), col("comp").as("nc")), "b")
         .groupBy(col("a").as("node")).agg(min(col("nc")).as("nbr_min"))
-      val next = labels.join(nbr, Seq("node"), "left_outer")
+      // checkpoint before the self-join below, or the neighbour join runs
+      // twice per round (once per self-join side)
+      val prop = labels.join(nbr, Seq("node"), "left_outer")
         .select(col("node"),
           least(col("comp"), coalesce(col("nbr_min"), col("comp"))).as("comp"),
           (coalesce(col("nbr_min"), col("comp")) < col("comp")).as("_chg"))
+        .localCheckpoint()
+      // pointer doubling: comp := comp(comp). comp is always some node's id
+      // (init comp=node), so the self-join by comp→node total-covers.
+      val next = prop
+        .join(prop.select(col("node").as("comp"), col("comp").as("cc2")),
+          Seq("comp"), "left_outer")
+        .select(col("node"),
+          least(col("comp"), coalesce(col("cc2"), col("comp"))).as("comp"),
+          (col("_chg") ||
+            coalesce(col("cc2"), col("comp")) < col("comp")).as("_chg"))
         .localCheckpoint()
       changed = next.filter(col("_chg")).count()
       labels = next.drop("_chg")
@@ -284,8 +344,74 @@ object DataPipeQueries {
     // canonicalization (drop every non-canonical member of a Jaccard
     // cluster). All pieces are the already-differential operators composed
     // into one plan: narrow feature projections + the CC loser anti-join.
+    // ---- CCNet-style segment-level boilerplate removal (r4): chunk every
+    // doc into non-overlapping 10-word segments, drop segments whose CORPUS
+    // frequency ≥ 3 (repeated template/boilerplate text), reassemble the
+    // doc from the survivors in order. The within-doc complement of
+    // doc-level dedup: near-dup docs keep their unique tails, shared
+    // boilerplate goes. Scale: explode ×~nw/10, hash-groupBy freq (map-side
+    // combine), one equijoin back — all embarrassingly parallel.
+    Q("dd_line_dedup",
+      """WITH segs AS (
+        |  SELECT doc_id, unnest(list_transform(
+        |    range((len(str_split(text, ' ')) + 9) // 10), k ->
+        |      {'seg_idx': k, 'seg': array_to_string(
+        |        str_split(text, ' ')[k * 10 + 1 : k * 10 + 10], ' ')})) AS s
+        |  FROM documents),
+        |e AS (SELECT doc_id, s.seg_idx AS seg_idx, s.seg AS seg FROM segs),
+        |fr AS (SELECT md5(seg) AS h, count(*) AS n FROM e GROUP BY 1),
+        |k AS (SELECT e.doc_id, e.seg_idx, e.seg, fr.n >= 3 AS boiler
+        |      FROM e JOIN fr ON md5(e.seg) = fr.h)
+        |SELECT doc_id, CAST(count(*) AS INT) AS n_segs,
+        |  CAST(sum(CASE WHEN boiler THEN 1 ELSE 0 END) AS INT) AS n_dropped,
+        |  coalesce(string_agg(CASE WHEN NOT boiler THEN seg END, ' '
+        |    ORDER BY seg_idx), '') AS clean_text
+        |FROM k GROUP BY doc_id ORDER BY doc_id""".stripMargin) { (s, d) =>
+      val e = docs(s, d).select(col("doc_id"), explode(segWindowsExpr).as("s"))
+        .select(col("doc_id"), col("s.seg_idx").as("seg_idx"),
+          col("s.seg").as("seg"))
+      val fr = e.groupBy(md5(col("seg")).as("h")).agg(count(lit(1)).as("n"))
+      e.join(fr, md5(col("seg")) === col("h"))
+        .withColumn("boiler", col("n") >= 3)
+        .groupBy("doc_id")
+        .agg(count(lit(1)).cast("int").as("n_segs"),
+          sum(when(col("boiler"), 1).otherwise(0)).cast("int").as("n_dropped"),
+          coalesce(array_join(transform(
+            array_sort(collect_list(when(!col("boiler"),
+              struct(col("seg_idx"), col("seg"))))),
+            x => x.getField("seg")), " "), lit("")).as("clean_text"))
+        .orderBy("doc_id")
+    },
+
+    // ---- eval-contamination screen (r4): deterministic pseudo-eval-set
+    // (doc_id % 97 == 0); a training doc is contaminated when it shares ANY
+    // distinct 8-gram with any eval doc. Shape: hashed-shingle equijoin
+    // (the same primitive as dd_ngram_jaccard), never doc×doc.
+    Q("dd_contamination",
+      s"""WITH g8 AS (
+         |  SELECT doc_id, unnest($gram8SqlD) AS h
+         |  FROM documents WHERE len(str_split(text, ' ')) >= 8),
+         |ev AS (SELECT DISTINCT h FROM g8 WHERE doc_id % 97 = 0),
+         |tr AS (SELECT doc_id, h FROM g8 WHERE doc_id % 97 != 0)
+         |SELECT doc_id, CAST(count(*) AS INT) AS n_shared
+         |FROM tr JOIN ev USING (h) GROUP BY doc_id ORDER BY doc_id""".stripMargin) { (s, d) =>
+      val g8 = docs(s, d).filter(size(wordsCol) >= 8)
+        .select(col("doc_id"), explode(gram8Expr).as("h"))
+      val ev = g8.filter(col("doc_id") % 97 === 0).select("h").distinct()
+      g8.filter(col("doc_id") % 97 =!= 0).join(ev, "h")
+        .groupBy("doc_id").agg(count(lit(1)).cast("int").as("n_shared"))
+        .orderBy("doc_id")
+    },
+
     Q("ta_curation",
       s"""WITH RECURSIVE $ccOracleCtes,
+         |g8 AS (
+         |  SELECT doc_id, unnest($gram8SqlD) AS h
+         |  FROM documents WHERE len(str_split(text, ' ')) >= 8),
+         |ev AS (SELECT DISTINCT h FROM g8 WHERE doc_id % 97 = 0),
+         |contaminated AS (
+         |  SELECT DISTINCT tr.doc_id FROM g8 tr JOIN ev USING (h)
+         |  WHERE tr.doc_id % 97 != 0),
          |losers AS (SELECT node AS doc_id FROM lab WHERE node != comp),
          |f AS (SELECT doc_id, $langScoresSqlD,
          |    len(str_split(text, ' ')) AS nw,
@@ -296,6 +422,8 @@ object DataPipeQueries {
          |SELECT doc_id, CAST(nw AS INT) AS nw, CAST(uniq_bp AS INT) AS uniq_bp
          |FROM g WHERE pred_lang = 'en' AND nw >= 5 AND uniq_bp >= 3500
          |  AND doc_id NOT IN (SELECT doc_id FROM losers)
+         |  AND doc_id % 97 != 0
+         |  AND doc_id NOT IN (SELECT doc_id FROM contaminated)
          |ORDER BY doc_id""".stripMargin) { (s, d) =>
       val feat = withLangScores(docs(s, d))
         .withColumn("nw", size(wordsCol))
@@ -304,9 +432,18 @@ object DataPipeQueries {
         .withColumn("pred_lang", predLangCol)
       val losers = ccLabels(jaccardVerified(s, d))
         .filter(col("node") =!= col("comp")).select(col("node").as("doc_id"))
+      // r4: the eval-contamination screen rides the same curation pass —
+      // eval-member docs and any train doc sharing an 8-gram with one are
+      // excluded from the training corpus (anti-joins, same primitive).
+      val g8 = docs(s, d).filter(size(wordsCol) >= 8)
+        .select(col("doc_id"), explode(gram8Expr).as("h"))
+      val ev = g8.filter(col("doc_id") % 97 === 0).select("h").distinct()
+      val contaminated = g8.filter(col("doc_id") % 97 =!= 0).join(ev, "h")
+        .select("doc_id").distinct()
       feat.join(losers, Seq("doc_id"), "left_anti")
+        .join(contaminated, Seq("doc_id"), "left_anti")
         .filter(col("pred_lang") === "en" && col("nw") >= 5 &&
-          col("uniq_bp") >= 3500)
+          col("uniq_bp") >= 3500 && col("doc_id") % 97 =!= 0)
         .select(col("doc_id"), col("nw").cast("int").as("nw"), col("uniq_bp"))
         .orderBy("doc_id")
     },
@@ -705,6 +842,207 @@ object DataPipeQueries {
           Window.partitionBy("qid").orderBy(desc("cs"), asc("nid"))))
         .filter(col("rank") <= 3)
         .select("qid", "rank", "nid").orderBy("qid", "rank")
+    },
+
+    // ---- random-hyperplane LSH ANN (r4 — the production sign-LSH path):
+    // 8 seeded Rademacher tables × 8 bits, Hamming-1 multi-probe in every
+    // table, candidates deduped across tables. Replaces fixed axis-aligned
+    // cuts with seeded projections; on these isotropic fixtures the win
+    // comes from the table COUNT (measured recall ~0.64 vs 0.115 for the
+    // single fixed-dim table — ann_recall_v2 / BENCH.md). At 100 TB each
+    // (t, bk) bucket is an equijoin key; candidates ≈ L·9·N/256 per query.
+    Q("ann_lsh_rp",
+      s"""WITH idx AS (
+         |$rpIdxSqlD),
+         |pr AS (
+         |  SELECT vec_id AS qid, t, $rpProbeSqlD AS probe
+         |  FROM idx WHERE vec_id < 20),
+         |cand AS (
+         |  SELECT DISTINCT pr.qid, i.vec_id AS nid
+         |  FROM pr JOIN idx i ON i.t = pr.t AND i.bk = pr.probe
+         |    AND i.vec_id != pr.qid),
+         |sc AS (
+         |  SELECT cand.qid, cand.nid,
+         |    round(list_cosine_similarity(q.embedding, n.embedding), 6) AS c
+         |  FROM cand
+         |  JOIN embeddings q ON q.vec_id = cand.qid
+         |  JOIN embeddings n ON n.vec_id = cand.nid),
+         |rk AS (SELECT qid, nid,
+         |    row_number() OVER (PARTITION BY qid ORDER BY c DESC, nid) AS rank FROM sc)
+         |SELECT qid, rank, nid FROM rk WHERE rank <= 5 ORDER BY qid, rank""".stripMargin) { (s, d) =>
+      import graft.functions.ArrayDot
+      val base = cycle(embs(s, d)
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("vd"))
+        .withColumn("nrm", sqrt(ArrayDot.dot(col("vd"), col("vd")))))
+      val idx = base.select(col("vec_id"), rpIdxCol(col("vd")).as("tb"))
+        .select(col("vec_id"), col("tb.t").as("t"), col("tb.bk").as("bk"))
+      val pr = idx.filter(col("vec_id") < 20)
+        .select(col("vec_id").as("qid"), col("t").as("qt"), col("bk").as("qb"))
+        .withColumn("probe", explode(probesExpr))
+      val cand = pr
+        .join(idx.select(col("vec_id").as("nid"), col("t"), col("bk")),
+          col("t") === col("qt") && col("bk") === col("probe") &&
+            col("nid") =!= col("qid"))
+        .select("qid", "nid").distinct()
+      cand
+        .join(base.select(col("vec_id").as("qid"), col("vd").as("qv"),
+          col("nrm").as("qn")), "qid")
+        .join(base.select(col("vec_id").as("nid"), col("vd").as("nv"),
+          col("nrm").as("nn")), "nid")
+        .withColumn("c",
+          round(ArrayDot.dot(col("qv"), col("nv")) / (col("qn") * col("nn")), 6))
+        .withColumn("rank", row_number().over(
+          Window.partitionBy("qid").orderBy(desc("c"), asc("nid"))))
+        .filter(col("rank") <= 5)
+        .select("qid", "rank", "nid").orderBy("qid", "rank")
+    },
+
+    // ---- TRAINED-codebook IVF ANN (r4): distributed Lloyd's (k=16, 3
+    // fixed iterations, exact-integer update step — see IvfTrain) replaces
+    // the first-16-vectors stand-in; the oracle REPLAYS training via an
+    // unrolled CTE chain, so the whole path (train → assign → probe → rank)
+    // is a hash-checked differential. nprobe=3. On these isotropic fixtures
+    // training's main win is BALANCED posting lists (partition keys at
+    // scale); the recall gain is measured in ann_recall_v2 and the clustered
+    // case in AnnSpec.
+    Q("ann_ivf_trained", {
+      val cos = s"${graft.operators.IvfTrain.dotSql("e.embedding", "c.cv", 64)} / (e.nd * c.cn)"
+      s"""WITH ${graft.operators.IvfTrain.oracleCtes(IvfK, IvfIters, 64)},
+         |asg AS (
+         |  SELECT vec_id AS nid, cid FROM (
+         |    SELECT e.vec_id, c.cid, row_number() OVER (PARTITION BY e.vec_id
+         |      ORDER BY $cos DESC, c.cid) AS rk
+         |    FROM eq e, cents$IvfIters c) WHERE rk = 1),
+         |probes AS (
+         |  SELECT vec_id AS qid, cid FROM (
+         |    SELECT e.vec_id, c.cid, row_number() OVER (PARTITION BY e.vec_id
+         |      ORDER BY $cos DESC, c.cid) AS rk
+         |    FROM eq e, cents$IvfIters c WHERE e.vec_id < 10) WHERE rk <= $IvfProbes),
+         |cand AS (
+         |  SELECT DISTINCT p.qid, a.nid
+         |  FROM probes p JOIN asg a ON p.cid = a.cid AND a.nid != p.qid),
+         |sc AS (
+         |  SELECT cand.qid, cand.nid,
+         |    round(list_cosine_similarity(q.embedding, n.embedding), 6) AS cs
+         |  FROM cand
+         |  JOIN embeddings q ON q.vec_id = cand.qid
+         |  JOIN embeddings n ON n.vec_id = cand.nid),
+         |rk AS (SELECT qid, nid,
+         |    row_number() OVER (PARTITION BY qid ORDER BY cs DESC, nid) AS rank FROM sc)
+         |SELECT qid, rank, nid FROM rk WHERE rank <= 3 ORDER BY qid, rank""".stripMargin
+    }) { (s, d) =>
+      import graft.functions.ArrayDot
+      import graft.operators.IvfTrain
+      val ep = cycle(IvfTrain.prepared(embs(s, d)))
+      val cdf = IvfTrain.centroidDf(s, IvfTrain.train(s, ep, IvfK, IvfIters, 64))
+      val asg = IvfTrain.nearest(ep, cdf, 1)
+        .select(col("vec_id").as("nid"), col("cid"),
+          col("vd").as("nv"), col("nd").as("nn"))
+      val probes = IvfTrain.nearest(ep.filter(col("vec_id") < 10), cdf, IvfProbes)
+        .select(col("vec_id").as("qid"), col("cid"),
+          col("vd").as("qv"), col("nd").as("qn"))
+      probes.join(asg, Seq("cid")).filter(col("nid") =!= col("qid"))
+        .select("qid", "nid", "qv", "qn", "nv", "nn").distinct()
+        .withColumn("cs",
+          round(ArrayDot.dot(col("qv"), col("nv")) / (col("qn") * col("nn")), 6))
+        .withColumn("rank", row_number().over(
+          Window.partitionBy("qid").orderBy(desc("cs"), asc("nid"))))
+        .filter(col("rank") <= 3)
+        .select("qid", "rank", "nid").orderBy("qid", "rank")
+    },
+
+    // ---- recall of the r4 production paths (lsh_rp multi-table,
+    // ivf_trained) vs brute-force truth@10 — itself a differential, like
+    // ann_recall for the r3 paths. recall_bp = hits·10000/(10·20).
+    Q("ann_recall_v2", {
+      val cos = s"${graft.operators.IvfTrain.dotSql("e.embedding", "c.cv", 64)} / (e.nd * c.cn)"
+      s"""WITH ${graft.operators.IvfTrain.oracleCtes(IvfK, IvfIters, 64)},
+         |q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings WHERE vec_id < 20),
+         |truth AS (
+         |  SELECT qid, nid FROM (
+         |    SELECT q.qid, e.vec_id AS nid, row_number() OVER (PARTITION BY q.qid
+         |      ORDER BY round(list_cosine_similarity(q.qv, e.embedding), 6) DESC, e.vec_id) AS rk
+         |    FROM q, embeddings e WHERE e.vec_id != q.qid) WHERE rk <= 10),
+         |idx AS (
+         |$rpIdxSqlD),
+         |pr AS (
+         |  SELECT vec_id AS qid, t, $rpProbeSqlD AS probe
+         |  FROM idx WHERE vec_id < 20),
+         |lcand AS (
+         |  SELECT DISTINCT pr.qid, i.vec_id AS nid
+         |  FROM pr JOIN idx i ON i.t = pr.t AND i.bk = pr.probe
+         |    AND i.vec_id != pr.qid),
+         |lsh AS (
+         |  SELECT qid, nid FROM (
+         |    SELECT lcand.qid, lcand.nid, row_number() OVER (PARTITION BY lcand.qid
+         |      ORDER BY round(list_cosine_similarity(q.qv, n.embedding), 6) DESC, lcand.nid) AS rk
+         |    FROM lcand JOIN q ON q.qid = lcand.qid
+         |    JOIN embeddings n ON n.vec_id = lcand.nid) WHERE rk <= 10),
+         |asg AS (
+         |  SELECT vec_id AS nid, cid FROM (
+         |    SELECT e.vec_id, c.cid, row_number() OVER (PARTITION BY e.vec_id
+         |      ORDER BY $cos DESC, c.cid) AS rk
+         |    FROM eq e, cents$IvfIters c) WHERE rk = 1),
+         |iprobes AS (
+         |  SELECT vec_id AS qid, cid FROM (
+         |    SELECT e.vec_id, c.cid, row_number() OVER (PARTITION BY e.vec_id
+         |      ORDER BY $cos DESC, c.cid) AS rk
+         |    FROM eq e, cents$IvfIters c WHERE e.vec_id < 20) WHERE rk <= $IvfProbes),
+         |icand AS (
+         |  SELECT DISTINCT p.qid, a.nid
+         |  FROM iprobes p JOIN asg a ON p.cid = a.cid AND a.nid != p.qid),
+         |ivf AS (
+         |  SELECT qid, nid FROM (
+         |    SELECT icand.qid, icand.nid, row_number() OVER (PARTITION BY icand.qid
+         |      ORDER BY round(list_cosine_similarity(q.qv, n.embedding), 6) DESC, icand.nid) AS rk
+         |    FROM icand JOIN q ON q.qid = icand.qid
+         |    JOIN embeddings n ON n.vec_id = icand.nid) WHERE rk <= 10),
+         |h AS (
+         |  SELECT 'ivf_trained' AS method, count(*) AS hits FROM ivf JOIN truth USING (qid, nid)
+         |  UNION ALL SELECT 'lsh_rp', count(*) FROM lsh JOIN truth USING (qid, nid))
+         |SELECT method, hits, CAST(hits * 50 AS INT) AS recall_bp FROM h
+         |ORDER BY method""".stripMargin
+    }) { (s, d) =>
+      import graft.functions.ArrayDot
+      import graft.operators.IvfTrain
+      val ep = cycle(IvfTrain.prepared(embs(s, d)))
+      val q = ep.filter(col("vec_id") < 20)
+        .select(col("vec_id").as("qid"), col("vd").as("qv"), col("nd").as("qn"))
+      val n = ep.select(col("vec_id").as("nid"), col("vd").as("nv"),
+        col("nd").as("nn"))
+      def top10(df: DataFrame): DataFrame = df
+        .withColumn("c",
+          round(ArrayDot.dot(col("qv"), col("nv")) / (col("qn") * col("nn")), 6))
+        .withColumn("rk", row_number().over(
+          Window.partitionBy("qid").orderBy(desc("c"), asc("nid"))))
+        .filter(col("rk") <= 10).select("qid", "nid")
+      val truth = QueryCache.retain(top10(q.join(n, col("nid") =!= col("qid"))))
+      val idx = ep.select(col("vec_id"), rpIdxCol(col("vd")).as("tb"))
+        .select(col("vec_id"), col("tb.t").as("t"), col("tb.bk").as("bk"))
+      val pr = idx.filter(col("vec_id") < 20)
+        .select(col("vec_id").as("qid2"), col("t").as("qt"), col("bk").as("qb"))
+        .withColumn("probe", explode(probesExpr))
+      val lcand = pr
+        .join(idx.select(col("vec_id").as("nid"), col("t"), col("bk")),
+          col("t") === col("qt") && col("bk") === col("probe") &&
+            col("nid") =!= col("qid2"))
+        .select(col("qid2").as("qid"), col("nid")).distinct()
+      val lsh = top10(lcand.join(q, "qid").join(n, "nid"))
+      val cdf = IvfTrain.centroidDf(s, IvfTrain.train(s, ep, IvfK, IvfIters, 64))
+      val asg = IvfTrain.nearest(ep, cdf, 1)
+        .select(col("vec_id").as("nid"), col("cid"))
+      val iprobes = IvfTrain.nearest(ep.filter(col("vec_id") < 20), cdf, IvfProbes)
+        .select(col("vec_id").as("qid"), col("cid"))
+      val icand = iprobes.join(asg, Seq("cid")).filter(col("nid") =!= col("qid"))
+        .select("qid", "nid").distinct()
+      val ivf = top10(icand.join(q, "qid").join(n, "nid"))
+      def hitRow(m: String, cand: DataFrame): DataFrame =
+        cand.join(truth, Seq("qid", "nid"))
+          .agg(count(lit(1)).as("hits"))
+          .select(lit(m).as("method"), col("hits"),
+            (col("hits") * 50).cast("int").as("recall_bp"))
+      hitRow("ivf_trained", ivf).unionByName(hitRow("lsh_rp", lsh))
+        .orderBy("method")
     },
 
     // ---- language-ID: stopword-hit scores per language, argmax.

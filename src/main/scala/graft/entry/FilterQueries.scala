@@ -290,19 +290,25 @@ object FilterQueries {
     // the same semantics. The log-pipeline "split a conversation into
     // visits" op; in streaming the same call works under a watermark.
     Q("p38_sessionize", sqlT(
+      // gap detection on MICROSECOND epochs (epoch_us) — Spark's
+      // session_window merges on full timestamp precision, so a
+      // second-truncated oracle would disagree near the 3600s boundary on
+      // sub-second fixtures (ADVICE r3); only the EMITTED bounds truncate
+      // (both sides floor to seconds identically)
       """SELECT conv_id, CAST(min(ts_s) AS BIGINT) AS session_start,
         |  CAST(max(ts_s) AS BIGINT) AS session_last, count(*) AS n_events
         |FROM (
         |  SELECT conv_id, ts_s, sum(new_s) OVER (
-        |    PARTITION BY conv_id ORDER BY ts_s, turn_idx
+        |    PARTITION BY conv_id ORDER BY ts_us, turn_idx
         |    ROWS UNBOUNDED PRECEDING) AS sess
         |  FROM (
-        |    SELECT conv_id, turn_idx, CAST(floor(epoch(ts)) AS BIGINT) AS ts_s,
-        |      CASE WHEN lag(CAST(floor(epoch(ts)) AS BIGINT)) OVER (
+        |    SELECT conv_id, turn_idx, epoch_us(ts) AS ts_us,
+        |      CAST(floor(epoch(ts)) AS BIGINT) AS ts_s,
+        |      CASE WHEN lag(epoch_us(ts)) OVER (
         |          PARTITION BY conv_id ORDER BY ts, turn_idx) IS NULL THEN 1
-        |        WHEN CAST(floor(epoch(ts)) AS BIGINT)
-        |          - lag(CAST(floor(epoch(ts)) AS BIGINT)) OVER (
-        |            PARTITION BY conv_id ORDER BY ts, turn_idx) >= 3600 THEN 1
+        |        WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER (
+        |            PARTITION BY conv_id ORDER BY ts, turn_idx)
+        |          >= 3600000000 THEN 1
         |        ELSE 0 END AS new_s
         |    FROM turns))
         |GROUP BY conv_id, sess ORDER BY conv_id, session_start""".stripMargin)) { (s, d) =>

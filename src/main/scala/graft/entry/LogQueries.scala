@@ -523,6 +523,53 @@ scored AS (
         .orderBy("conv_id")
     },
 
+    // P20b: MULTI-transaction elapsed — the full state machine (new
+    // transaction per key after each completed pair, extra starts counted,
+    // ends-without-start ignored). Oracle renders the same run-collapse
+    // identity: first event of each same-type run survives, leading end-run
+    // dropped, survivors alternate S,E pairing as txn = ceil(rank/2).
+    Q("p20b_elapsed_multi", sqlP(
+      """, ev AS (
+        |  SELECT conv_id, epoch_us(ts) AS ts_us, ts_sec,
+        |    CASE WHEN action = 'click' THEN 1 ELSE 0 END AS is_s
+        |  FROM parsed WHERE action IN ('click', 'purchase')),
+        |r1 AS (
+        |  SELECT *, CASE WHEN lag(is_s) OVER w IS NULL
+        |      OR lag(is_s) OVER w != is_s THEN 1 ELSE 0 END AS chg
+        |  FROM ev WINDOW w AS (PARTITION BY conv_id ORDER BY ts_us, is_s DESC)),
+        |r2 AS (
+        |  SELECT *, sum(chg) OVER (PARTITION BY conv_id
+        |    ORDER BY ts_us, is_s DESC ROWS UNBOUNDED PRECEDING) AS run_id
+        |  FROM r1),
+        |r3 AS (
+        |  SELECT *, row_number() OVER (PARTITION BY conv_id, run_id
+        |      ORDER BY ts_us, is_s DESC) AS rif,
+        |    count(*) OVER (PARTITION BY conv_id, run_id) AS run_len
+        |  FROM r2),
+        |eff AS (
+        |  SELECT *, row_number() OVER (PARTITION BY conv_id
+        |    ORDER BY ts_us, is_s DESC) AS rn2
+        |  FROM r3 WHERE rif = 1 AND NOT (run_id = 1 AND is_s = 0)),
+        |tx AS (
+        |  SELECT conv_id, CAST(floor((rn2 + 1) / 2) AS BIGINT) AS txn,
+        |    max(CASE WHEN is_s = 1 THEN ts_sec END) AS start_sec,
+        |    max(CASE WHEN is_s = 1 THEN ts_us END) AS s_us,
+        |    max(CASE WHEN is_s = 0 THEN ts_sec END) AS e_sec,
+        |    max(CASE WHEN is_s = 0 THEN ts_us END) AS e_us,
+        |    max(CASE WHEN is_s = 1 THEN run_len - 1 END) AS n_extra_starts
+        |  FROM eff GROUP BY conv_id, txn)
+        |SELECT conv_id, txn, start_sec,
+        |  CASE WHEN e_us IS NOT NULL AND e_us - s_us <= 2592000000000 THEN e_sec END AS end_sec,
+        |  CASE WHEN e_us IS NOT NULL AND e_us - s_us <= 2592000000000 THEN e_sec - start_sec END AS elapsed_sec,
+        |  n_extra_starts,
+        |  CASE WHEN e_us IS NOT NULL AND e_us - s_us <= 2592000000000
+        |    THEN 'matched' ELSE 'expired' END AS status
+        |FROM tx ORDER BY conv_id, txn""".stripMargin)) { (s, d) =>
+      Elapsed.multi(P(s, d), "conv_id",
+        col("action") === "click", col("action") === "purchase", 2592000L)
+        .orderBy("conv_id", "txn")
+    },
+
     // P21: Logstash `urldecode` filter — Spark's generic url_decode vs the
     // known decoding of the synthesized escapes (%2F, %20). Narrow, codegen'd.
     Q("p21_urldecode", sqlP(

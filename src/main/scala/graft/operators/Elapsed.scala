@@ -70,4 +70,66 @@ object Elapsed {
   def apply(df: DataFrame, key: String, isStart: Column, isEnd: Column,
       timeoutSec: Long): DataFrame =
     finish(state(df, key, isStart, isEnd), key, timeoutSec)
+
+  /** P20b: MULTI-transaction pairing — the full Logstash `elapsed` state
+    * machine (a new transaction per key after each completed one), where
+    * [[apply]] handles only the first. Per key, ordered by
+    * (ts_us, starts-first on ties):
+    *   - a start while no transaction is open OPENS transaction k;
+    *   - further starts while open are counted (`n_extra_starts`, the
+    *     `elapsed_multiple_starts` tag analogue) and do not re-anchor;
+    *   - the first end while open CLOSES it; ends while closed are ignored
+    *     (`elapsed_end_without_start`);
+    *   - timeout classifies a pair at emit (`expired` when the delta exceeds
+    *     it, or no end ever arrives) — it does not re-open the machine
+    *     mid-sequence, same contract as [[finish]].
+    * Emits one row per transaction: (key, txn, start_sec, end_sec,
+    * elapsed_sec, n_extra_starts, status).
+    *
+    * Shape: the run-collapse identity — classify each event S/E, keep the
+    * FIRST event of each same-type run, drop a leading E-run, and the
+    * survivors alternate S,E,S,E… exactly as the state machine would fire;
+    * txn = ceil(rank/2). That needs per-key lag/row_number windows over the
+    * start/end-marked events ONLY (filtered before the shuffle): full
+    * sequential semantics cannot partially aggregate, but the windowed set
+    * is the per-key transaction-event stream, bounded in practice —
+    * unlike a raw-row window over all turns of a hot conversation. */
+  def multi(df: DataFrame, key: String, isStart: Column, isEnd: Column,
+      timeoutSec: Long): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ord = Seq(col("ts_us"), col("is_s").desc)
+    val w = Window.partitionBy("key").orderBy(ord: _*)
+    val wf = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val ev = df.filter(isStart || isEnd)
+      .select(col(key).cast("string").as("key"), col("ts_us"), col("ts_sec"),
+        when(isStart, 1).otherwise(0).as("is_s"))
+    val runs = ev
+      .withColumn("chg", when(lag(col("is_s"), 1).over(w).isNull ||
+        lag(col("is_s"), 1).over(w) =!= col("is_s"), 1L).otherwise(0L))
+      .withColumn("run_id", sum(col("chg")).over(wf))
+    val wr = Window.partitionBy("key", "run_id").orderBy(ord: _*)
+    val eff = runs
+      .withColumn("rif", row_number().over(wr))
+      .withColumn("run_len",
+        count(lit(1)).over(Window.partitionBy("key", "run_id")))
+      .filter(col("rif") === 1 &&
+        !(col("run_id") === 1 && col("is_s") === 0))
+      .withColumn("rn2", row_number().over(w))
+      .withColumn("txn", floor((col("rn2") + 1) / 2).cast("long"))
+    val matched = col("e_us").isNotNull &&
+      (col("e_us") - col("s_us")) <= timeoutSec * 1000000L
+    eff.groupBy(col("key"), col("txn"))
+      .agg(
+        max(when(col("is_s") === 1, col("ts_sec"))).as("start_sec"),
+        max(when(col("is_s") === 1, col("ts_us"))).as("s_us"),
+        max(when(col("is_s") === 0, col("ts_sec"))).as("e_sec"),
+        max(when(col("is_s") === 0, col("ts_us"))).as("e_us"),
+        max(when(col("is_s") === 1, col("run_len") - 1)).as("n_extra_starts"))
+      .select(
+        col("key").as(key), col("txn"), col("start_sec"),
+        when(matched, col("e_sec")).as("end_sec"),
+        when(matched, col("e_sec") - col("start_sec")).as("elapsed_sec"),
+        col("n_extra_starts"),
+        when(matched, "matched").otherwise("expired").as("status"))
+  }
 }

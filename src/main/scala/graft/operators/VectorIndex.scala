@@ -1,0 +1,207 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.ArrayDot
+
+/** Production vector-index paths for the ANN family (VERDICT r3 #2/#3):
+  * seeded random-hyperplane LSH (multi-table) and a TRAINED IVF codebook
+  * (distributed Lloyd's), both engineered to be bit-reproducible in DuckDB
+  * so the differential harness can replay them exactly.
+  *
+  * Cross-engine determinism contract: every sign/argmax decision is made on
+  * a number BOTH engines compute bit-identically — a left-associative chain
+  * of IEEE-double adds over exactly-converted float32 inputs. [[ArrayDot]]
+  * accumulates `s += a(i)*b(i)` in index order with a double accumulator;
+  * the oracle side renders the same dot product as a literal left-assoc
+  * `(a[1]*b[1] + a[2]*b[2] + …)` expression, which parses and evaluates in
+  * the same order — so no `round(…, 6)` crutch is needed where it matters
+  * (bucket signs, centroid assignment). */
+object Hyperplanes {
+
+  /** Seeded Rademacher (±1) hyperplanes: `tables` tables × `bits` planes ×
+    * `dim` components. java.util.Random's LCG is spec-fixed, so the planes
+    * are identical on every JVM — and they are INLINED into both the Spark
+    * plan and the oracle SQL, so the engines never have to agree on a PRNG. */
+  def planes(seed: Long, tables: Int, bits: Int,
+      dim: Int): IndexedSeq[IndexedSeq[Array[Double]]] = {
+    val rnd = new java.util.Random(seed)
+    IndexedSeq.fill(tables)(IndexedSeq.fill(bits)(
+      Array.fill(dim)(if (rnd.nextBoolean()) 1.0 else -1.0)))
+  }
+
+  /** Sign-bit bucket of one table over an `array<double>` column: concat of
+    * `bits` characters, bit b = '1' iff dot(vd, plane_b) >= 0. The ±1 dot is
+    * exactly the alternating-sign sum (v*1.0 ≡ v, v*-1.0 ≡ -v in IEEE). */
+  def bucketCol(vd: Column, tbl: IndexedSeq[Array[Double]]): Column =
+    concat(tbl.map(p =>
+      when(ArrayDot.dot(vd, typedlit(p.toSeq)) >= 0, "1").otherwise("0")): _*)
+
+  /** DuckDB rendering of the same projection: left-assoc ± chain over
+    * `CAST(arr[d] AS DOUBLE)` — bit-identical to [[ArrayDot]]'s loop.
+    * Single line (embedded in stripMargin templates). */
+  def projSql(p: Array[Double], arr: String): String =
+    p.zipWithIndex.map { case (s, d) =>
+      val t = s"CAST($arr[${d + 1}] AS DOUBLE)"
+      if (d == 0) (if (s > 0) t else s"- $t")
+      else (if (s > 0) s"+ $t" else s"- $t")
+    }.mkString("(", " ", ")")
+
+  def bucketSql(tbl: IndexedSeq[Array[Double]], arr: String): String =
+    tbl.map(p =>
+      s"(CASE WHEN ${projSql(p, arr)} >= 0 THEN '1' ELSE '0' END)")
+      .mkString(" || ")
+}
+
+/** Trained IVF coarse quantizer: distributed Lloyd's with a FIXED iteration
+  * count, deterministic init (first k vectors by vec_id), and an
+  * EXACT-INTEGER update step so the oracle can replay training bit-for-bit:
+  *
+  *   - every embedding is quantized once to `q[d] = round(v[d]·10⁶)` as a
+  *     64-bit integer — identical in both engines (no float at .5·10⁻⁶
+  *     boundaries exists in these fixtures; float32 inputs are dyadic);
+  *   - the update step sums `q` per cluster: INTEGER sums are exact and
+  *     ORDER-INDEPENDENT, so a distributed partial-agg sum equals DuckDB's
+  *     single-threaded sum; centroid coord = CAST(sum AS DOUBLE)/(n·10⁶) —
+  *     one double division of exact operands, identical everywhere;
+  *   - assignment ranks by exact cosine (ArrayDot vs the generated
+  *     left-assoc SQL chain), ties broken by cid.
+  *
+  * Scale: assignment is a broadcast crossJoin against k centroid rows with
+  * map-side partial aggregation of the 64 integer sums — no explode, no
+  * driver traffic beyond k×dim numbers per iteration (the codebook itself,
+  * which is broadcast-small by contract, like rule tables). At 100 TB you
+  * train on a sampled slice and assign the full corpus once — same code
+  * path, `train` over `e.sample(…)`. Int64 overflow bound: |q| ≤ ~10⁶, so a
+  * cluster may hold ~9·10¹² members before `sum(q[d])` can overflow. */
+object IvfTrain {
+
+  /** (cid, cv: Array[Double], cn: norm) — driver-side codebook. */
+  final case class Centroid(cid: Int, cv: Array[Double], cn: Double)
+
+  private def normOf(cv: Array[Double]): Double = {
+    var s = 0.0; var d = 0
+    while (d < cv.length) { s += cv(d) * cv(d); d += 1 }
+    math.sqrt(s)
+  }
+
+  /** Quantized-embedding projection shared by train and its oracle:
+    * vd = exact double copy of the float32 embedding, q = round(vd·10⁶). */
+  def prepared(e: DataFrame): DataFrame = {
+    val vd = col("embedding").cast("array<double>")
+    e.select(col("vec_id"), vd.as("vd"),
+      transform(vd, x => round(x * 1e6).cast("long")).as("q"),
+      sqrt(ArrayDot.dot(vd, vd)).as("nd"))
+  }
+
+  /** Lloyd's with `iters` fixed iterations over (vec_id, embedding). The
+    * returned codebook is exactly what [[oracleCtes]]'s final `cents` CTE
+    * holds. `ep` should be cached/checkpointed by the caller (it is scanned
+    * `iters + `-time more). */
+  def train(spark: SparkSession, ep: DataFrame, k: Int, iters: Int,
+      dim: Int): Seq[Centroid] = {
+    // init: first k vectors by vec_id, coords = q/10⁶ (the quantized copy)
+    val init = ep.filter(col("vec_id") < k)
+      .select(col("vec_id").cast("int").as("cid"), col("q"))
+      .collect().sortBy(_.getInt(0))
+      .map(r => Centroid(r.getInt(0),
+        r.getSeq[Long](1).map(_.toDouble / 1e6).toArray, 0.0))
+      .map(c => c.copy(cn = normOf(c.cv)))
+    require(init.length == k, s"need $k seed vectors, got ${init.length}")
+
+    var cents: Seq[Centroid] = init.toSeq
+    for (_ <- 1 to iters) {
+      val cdf = centroidDf(spark, cents)
+      val asg = assign(ep, cdf)
+      val aggs = count(lit(1)).as("n") +:
+        (0 until dim).map(d => sum(element_at(col("q"), d + 1)).as(s"s$d"))
+      val sums = asg.groupBy("cid").agg(aggs.head, aggs.tail: _*)
+        .collect().map(r => r.getInt(0) -> r).toMap
+      cents = cents.map { c =>
+        sums.get(c.cid) match {
+          case None => c // empty cluster keeps its centroid
+          case Some(r) =>
+            val n = r.getLong(1)
+            val cv = Array.tabulate(dim)(d =>
+              r.getLong(2 + d).toDouble / (n * 1e6))
+            Centroid(c.cid, cv, normOf(cv))
+        }
+      }
+    }
+    cents
+  }
+
+  def centroidDf(spark: SparkSession, cents: Seq[Centroid]): DataFrame = {
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(StructField("cid", IntegerType),
+      StructField("cv", ArrayType(DoubleType)), StructField("cn", DoubleType)))
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(
+        cents.map(c => Row(c.cid, c.cv.toSeq, c.cn)), 1), schema)
+  }
+
+  /** Nearest-centroid assignment (rk=1) by exact cosine, tie by cid. */
+  def assign(ep: DataFrame, cdf: DataFrame): DataFrame =
+    nearest(ep, cdf, 1).select(col("vec_id"), col("cid"), col("q"))
+
+  /** Top-n centroid probes per vector by exact cosine. */
+  def nearest(ep: DataFrame, cdf: DataFrame, n: Int): DataFrame = ep
+    .crossJoin(broadcast(cdf))
+    .withColumn("cs", ArrayDot.dot(col("vd"), col("cv")) / (col("nd") * col("cn")))
+    .withColumn("rk", row_number().over(
+      Window.partitionBy("vec_id").orderBy(desc("cs"), asc("cid"))))
+    .filter(col("rk") <= n)
+
+  // ---------- DuckDB replay ----------
+
+  /** Exact dot of a float column-array against a double column-array,
+    * left-assoc — matches ArrayDot (single line). */
+  def dotSql(a: String, b: String, dim: Int): String =
+    (1 to dim).map(d => s"CAST($a[$d] AS DOUBLE) * $b[$d]")
+      .mkString("(", " + ", ")")
+
+  private def dotSqlDD(a: String, b: String, dim: Int): String =
+    (1 to dim).map(d => s"$a[$d] * $b[$d]").mkString("(", " + ", ")")
+
+  /** CTE chain `eq, cents0, asg1, cents1, …, cents{iters}` replaying
+    * [[train]] exactly; downstream SQL uses `cents{iters}` (cid, cv, cn). */
+  def oracleCtes(k: Int, iters: Int, dim: Int): String = {
+    val qExpr = "list_transform(CAST(embedding AS DOUBLE[]), x -> " +
+      "CAST(round(x * 1000000) AS BIGINT))"
+    val ndExpr = "sqrt(" + (1 to dim).map(d =>
+      s"CAST(e.embedding[$d] AS DOUBLE) * CAST(e.embedding[$d] AS DOUBLE)")
+      .mkString("(", " + ", ")") + ")"
+    val eq =
+      s"""eq AS (
+         |  SELECT vec_id, embedding, $qExpr AS q, $ndExpr AS nd
+         |  FROM embeddings e)""".stripMargin
+    val cents0 =
+      s"""cents0 AS (
+         |  SELECT CAST(vec_id AS INT) AS cid,
+         |    list_transform(q, x -> CAST(x AS DOUBLE) / 1000000.0) AS cv,
+         |    sqrt(${dotSqlDD("cv0.cv_pre", "cv0.cv_pre", dim)}) AS cn
+         |  FROM (SELECT vec_id, q,
+         |          list_transform(q, x -> CAST(x AS DOUBLE) / 1000000.0) AS cv_pre
+         |        FROM eq WHERE vec_id < $k) cv0)""".stripMargin
+    val iterCtes = (1 to iters).map { i =>
+      val prev = s"cents${i - 1}"
+      val cos = s"${dotSql("e.embedding", "c.cv", dim)} / (e.nd * c.cn)"
+      val sumList = (1 to dim).map(d =>
+        s"CAST(sum(q[$d]) AS DOUBLE) / (count(*) * 1000000.0)").mkString(", ")
+      s"""asg$i AS (
+         |  SELECT vec_id, cid, q FROM (
+         |    SELECT e.vec_id, c.cid, e.q, row_number() OVER (
+         |      PARTITION BY e.vec_id ORDER BY $cos DESC, c.cid) AS rk
+         |    FROM eq e, $prev c) WHERE rk = 1),
+         |sums$i AS (
+         |  SELECT cid, [$sumList] AS cv FROM asg$i GROUP BY cid),
+         |cents$i AS (
+         |  SELECT p.cid, coalesce(s.cv, p.cv) AS cv,
+         |    sqrt(${dotSqlDD("coalesce(s.cv, p.cv)", "coalesce(s.cv, p.cv)", dim)}) AS cn
+         |  FROM $prev p LEFT JOIN sums$i s USING (cid))""".stripMargin
+    }
+    (eq +: cents0 +: iterCtes).mkString(",\n")
+  }
+}

@@ -112,40 +112,51 @@ object RuleLoader {
       StructField("sink_format", StringType)))
     val row = spark.read.schema(schema).option("multiLine", "true")
       .json(path).head()
-    def arr(i: Int, dflt: Seq[String]): Seq[String] =
-      if (row.isNullAt(i)) dflt else row.getSeq[String](i)
-    def lng(i: Int, dflt: Long): Long = if (row.isNullAt(i)) dflt else row.getLong(i)
-    def int(i: Int, dflt: Int): Int = if (row.isNullAt(i)) dflt else row.getInt(i)
+    // resolve by NAME, never ordinal: a future field insertion in the schema
+    // above must not silently shift every knob after it (ADVICE r3)
+    def at(name: String): Int = row.fieldIndex(name)
+    def arr(name: String, dflt: Seq[String]): Seq[String] = {
+      val i = at(name); if (row.isNullAt(i)) dflt else row.getSeq[String](i)
+    }
+    def lng(name: String, dflt: Long): Long = {
+      val i = at(name); if (row.isNullAt(i)) dflt else row.getLong(i)
+    }
+    def int(name: String, dflt: Int): Int = {
+      val i = at(name); if (row.isNullAt(i)) dflt else row.getInt(i)
+    }
+    def str(name: String, dflt: String): String = {
+      val i = at(name); if (row.isNullAt(i)) dflt else row.getString(i)
+    }
     val bands =
-      if (row.isNullAt(13)) base.severityBands
-      else row.getSeq[org.apache.spark.sql.Row](13)
+      if (row.isNullAt(at("severity_bands"))) base.severityBands
+      else row.getSeq[org.apache.spark.sql.Row](at("severity_bands"))
         .map(b => b.getInt(0) -> b.getString(1)).sortBy(_._1)
     require(bands.nonEmpty, s"$path: severity_bands must not be empty")
-    val gp = if (row.isNullAt(14)) base.grokPattern else row.getString(14)
-    val gf = arr(15, base.grokFallbacks)
+    val gp = str("grok_pattern", base.grokPattern)
+    val gf = arr("grok_fallbacks", base.grokFallbacks)
     // malformed grok must fail at CONFIG LOAD, not mid-job on an executor
     (gp +: gf).foreach(p => graft.functions.GrokCompiler.compile(p))
     base.copy(
-      fingerprintFields = arr(0, base.fingerprintFields),
+      fingerprintFields = arr("fingerprint_fields", base.fingerprintFields),
       iocKindFields =
-        if (row.isNullAt(1)) base.iocKindFields
-        else row.getMap[String, String](1).toSeq.sortBy(_._1),
-      refFields = arr(2, base.refFields),
-      trackedFields = arr(3, base.trackedFields),
-      freqKey = if (row.isNullAt(4)) base.freqKey else row.getString(4),
-      freqWindowSec = lng(5, base.freqWindowSec),
-      freqThreshold = int(6, base.freqThreshold),
-      freqResetSec = lng(7, base.freqResetSec),
-      dedupDelaySec = lng(8, base.dedupDelaySec),
-      firThreshold = int(9, base.firThreshold),
-      newValueScore = int(10, base.newValueScore),
-      freqScore = int(11, base.freqScore),
-      refScore = int(12, base.refScore),
+        if (row.isNullAt(at("ioc_fields"))) base.iocKindFields
+        else row.getMap[String, String](at("ioc_fields")).toSeq.sortBy(_._1),
+      refFields = arr("ref_fields", base.refFields),
+      trackedFields = arr("tracked_fields", base.trackedFields),
+      freqKey = str("freq_key", base.freqKey),
+      freqWindowSec = lng("freq_window_sec", base.freqWindowSec),
+      freqThreshold = int("freq_threshold", base.freqThreshold),
+      freqResetSec = lng("freq_reset_sec", base.freqResetSec),
+      dedupDelaySec = lng("dedup_delay_sec", base.dedupDelaySec),
+      firThreshold = int("fir_threshold", base.firThreshold),
+      newValueScore = int("new_value_score", base.newValueScore),
+      freqScore = int("freq_score", base.freqScore),
+      refScore = int("ref_score", base.refScore),
       severityBands = bands,
       grokPattern = gp,
       grokFallbacks = gf,
-      format = if (row.isNullAt(16)) base.format else row.getString(16),
-      sinkFormat = if (row.isNullAt(17)) base.sinkFormat else row.getString(17))
+      format = str("format", base.format),
+      sinkFormat = str("sink_format", base.sinkFormat))
   }
 
   /** Conf for a config dir: `base` + the dir's mappings.json (if present). */

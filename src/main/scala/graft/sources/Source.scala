@@ -16,9 +16,16 @@ import graft.model.{PipelineConf, SigRule, WhitelistRule}
   * format). */
 object Source {
 
+  /** json's default timestampFormat truncates to milliseconds; a
+    * routeViaTable round-trip through a json sink would silently lose
+    * microsecond precision in the enriched table (ADVICE r3). Pin a
+    * microsecond pattern on BOTH write and read so the seam is lossless for
+    * every format. Parquet/orc/iceberg ignore the option. */
+  private val TsFmt = "yyyy-MM-dd'T'HH:mm:ss.SSSSSSXXX"
+
   def readTable(spark: SparkSession, format: String, path: String,
       schema: Option[org.apache.spark.sql.types.StructType] = None): DataFrame = {
-    val r0 = spark.read
+    val r0 = spark.read.option("timestampFormat", TsFmt)
     val r = schema.fold(r0)(r0.schema)
     format match {
       case "parquet" => r.parquet(path)
@@ -40,7 +47,7 @@ object Source {
     * idempotency contract are parquet-path-based by design). */
   def writeTable(df: DataFrame, format: String, path: String,
       partitionCols: Seq[String] = Nil, mode: String = "overwrite"): Unit = {
-    val w0 = df.write.mode(mode)
+    val w0 = df.write.mode(mode).option("timestampFormat", TsFmt)
     val w = if (partitionCols.nonEmpty) w0.partitionBy(partitionCols: _*) else w0
     format match {
       case "parquet" => w.parquet(path)

@@ -344,9 +344,16 @@ object StreamPipeline {
     * mode a session emits once CLOSED — i.e. once the watermark passes its
     * end (last event + gap); still-open sessions stay in state. Exact parity
     * with the batch sessions whose end the final watermark passed is pinned
-    * in StreamingSpec. */
-  def sessionizeStream(turns: DataFrame, gap: String): DataFrame =
-    turns.withWatermark("ts", "0 seconds")
+    * in StreamingSpec.
+    *
+    * `lateness` is the watermark delay — how far out-of-order events may
+    * arrive before being dropped (ADVICE r3: a fixed 0s would silently drop
+    * ANY late event on a real stream). Default 10 minutes; the spec passes
+    * 0s explicitly because its replay source is in-order and 0s makes
+    * session close-out deterministic for the parity assert. */
+  def sessionizeStream(turns: DataFrame, gap: String,
+      lateness: String = "10 minutes"): DataFrame =
+    turns.withWatermark("ts", lateness)
       .groupBy(col("conv_id"), session_window(col("ts"), gap).as("w"))
       .agg(min(unix_timestamp(col("ts"))).as("session_start"),
         max(unix_timestamp(col("ts"))).as("session_last"),

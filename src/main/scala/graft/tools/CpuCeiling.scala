@@ -19,9 +19,11 @@ object CpuCeiling {
       w
     }
     run(8) // warm JIT
+    val w2 = run(2)
     val w8 = run(8)
     val w32 = run(32)
-    println(f"cpu-only: local[8]=$w8%.2f s local[32]=$w32%.2f s " +
-      f"efficiency=${(w8 / w32) / 4.0}%.3f")
+    println(f"cpu-only: local[2]=$w2%.2f s local[8]=$w8%.2f s " +
+      f"local[32]=$w32%.2f s eff_2_8=${(w2 / w8) / 4.0}%.3f " +
+      f"eff_8_32=${(w8 / w32) / 4.0}%.3f")
   }
 }

@@ -19,4 +19,87 @@ class AnnSpec extends SparkSuite {
     assert(rows("lsh_mp") > 0, s"multi-probe found nothing: $rows")
     assert(rows("ivf") >= 5000, s"IVF recall@10 floor 0.50 violated: $rows")
   }
+
+  test("r4 recall@10: lsh_rp (8-table seeded hyperplanes) >= 0.50, ivf_trained >= 0.70 (sf0.001)") {
+    assume(new java.io.File("/root/testdata/sf0.001/embeddings.parquet").exists,
+      "driver testdata not mounted")
+    val rows = SparkEntry.queries("ann_recall_v2")(spark, "/root/testdata/sf0.001")
+      .collect().map(r => r.getString(0) -> r.getInt(2)).toMap
+    assert(rows.keySet === Set("ivf_trained", "lsh_rp"))
+    assert(rows("lsh_rp") >= 5000,
+      s"multi-table random-hyperplane LSH recall@10 floor 0.50 violated: $rows")
+    assert(rows("ivf_trained") >= 7000,
+      s"trained-IVF recall@10 floor 0.70 violated: $rows")
+  }
+
+  test("trained IVF beats the untrained stand-in where data is actually clustered") {
+    // The driver fixtures are ISOTROPIC (near-uniform directions), where any
+    // reasonable codebook ties — so this builds a CLUSTERED fixture (10
+    // tight centers, deterministic), where training must show its value:
+    // balanced posting lists and higher recall than first-16-vectors.
+    import org.apache.spark.sql.functions._
+    import graft.functions.ArrayDot
+    import graft.operators.IvfTrain
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    val dim = 64
+    val centers = Array.fill(10)(Array.fill(dim)(rnd.nextGaussian()))
+    val vecs = (0 until 400).map { i =>
+      val c = centers(i % 10)
+      (i.toLong, c.map(x => (x + 0.15 * rnd.nextGaussian()).toFloat).toSeq)
+    }
+    val e = vecs.toDF("vec_id", "embedding")
+    val ep = IvfTrain.prepared(e).localCheckpoint()
+
+    def recallOf(cents: Seq[IvfTrain.Centroid], nprobe: Int): Double = {
+      val cdf = IvfTrain.centroidDf(spark, cents)
+      val q = ep.filter(col("vec_id") < 20)
+        .select(col("vec_id").as("qid"), col("vd").as("qv"), col("nd").as("qn"))
+      val n = ep.select(col("vec_id").as("nid"), col("vd").as("nv"),
+        col("nd").as("nn"))
+      def top10(df: org.apache.spark.sql.DataFrame) = df
+        .withColumn("c", ArrayDot.dot(col("qv"), col("nv")) / (col("qn") * col("nn")))
+        .withColumn("rk", row_number().over(org.apache.spark.sql.expressions
+          .Window.partitionBy("qid").orderBy(desc("c"), asc("nid"))))
+        .filter(col("rk") <= 10).select("qid", "nid")
+      val truth = top10(q.join(n, col("nid") =!= col("qid"))).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      val asg = IvfTrain.nearest(ep, cdf, 1)
+        .select(col("vec_id").as("nid"), col("cid"))
+      val probes = IvfTrain.nearest(ep.filter(col("vec_id") < 20), cdf, nprobe)
+        .select(col("vec_id").as("qid"), col("cid"))
+      val cand = probes.join(asg, Seq("cid")).filter(col("nid") =!= col("qid"))
+        .select("qid", "nid").distinct()
+      val got = top10(cand.join(q, "qid").join(n, "nid")).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      got.intersect(truth).size.toDouble / truth.size
+    }
+
+    // untrained stand-in: first 10 vectors as centroids (all from clusters
+    // 0..9 by construction? no — i % 10 cycles, so vec 0..9 cover all 10
+    // clusters; make it HARDER and more realistic: first 10 vectors of the
+    // SHUFFLED id space would still cycle — use k=10 with 5 probes
+    val standin = ep.filter(col("vec_id") < 10)
+      .select(col("vec_id").cast("int").as("cid"), col("q")).collect()
+      .sortBy(_.getInt(0))
+      .map { r =>
+        val cv = r.getSeq[Long](1).map(_.toDouble / 1e6).toArray
+        val cn = math.sqrt(cv.map(x => x * x).sum)
+        IvfTrain.Centroid(r.getInt(0), cv, cn)
+      }.toSeq
+    val trained = IvfTrain.train(spark, ep, 10, 3, dim)
+    val rStand = recallOf(standin, 2)
+    val rTrain = recallOf(trained, 2)
+    assert(rTrain >= rStand,
+      f"training must not lose recall on clustered data: $rTrain%.3f < $rStand%.3f")
+    assert(rTrain >= 0.85, f"trained recall too low on clustered data: $rTrain%.3f")
+
+    // trained posting lists must be balanced on balanced clusters: max/min
+    // cluster size bounded (the 100-TB partition-skew property)
+    val cdf = IvfTrain.centroidDf(spark, trained)
+    val sizes = IvfTrain.nearest(ep, cdf, 1).groupBy("cid").count()
+      .collect().map(_.getLong(1))
+    assert(sizes.length === 10 && sizes.max <= 3L * sizes.min,
+      s"trained posting lists unbalanced: ${sizes.sorted.mkString(",")}")
+  }
 }

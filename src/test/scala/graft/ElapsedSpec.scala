@@ -72,6 +72,85 @@ class ElapsedSpec extends SparkSuite {
     assert(healed.nonEmpty, "no cross-boundary transaction in fixture split")
   }
 
+  // ---- P20b multi-transaction (r4): run-collapse implementation vs a
+  // naive per-key state machine, on crafted edges AND seeded random tapes.
+
+  /** The state machine the operator must equal: start-when-closed opens,
+    * extra starts count, end-when-open closes, end-when-closed ignored;
+    * timeout classifies at emit. */
+  private def naiveMulti(evs: Seq[(Long, Boolean)], timeoutSec: Long)
+      : Seq[(Long, Long, Long, Long, Long, String)] = {
+    val out = scala.collection.mutable.ArrayBuffer
+      .empty[(Long, Long, Long, Long, Long, String)]
+    var open = false; var s = 0L; var extra = 0L; var txn = 0L
+    def close(e: Option[Long]): Unit = {
+      txn += 1
+      e match {
+        case Some(t) if t - s <= timeoutSec =>
+          out += ((txn, s, t, t - s, extra, "matched"))
+        case _ => out += ((txn, s, -1L, -1L, extra, "expired"))
+      }
+      open = false; extra = 0L
+    }
+    evs.sortBy(e => (e._1, !e._2)).foreach { case (t, isS) =>
+      if (isS) { if (open) extra += 1 else { open = true; s = t } }
+      else if (open) close(Some(t))
+    }
+    if (open) close(None)
+    out.toSeq
+  }
+
+  private def multiRows(df: org.apache.spark.sql.DataFrame) =
+    df.collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+      if (r.isNullAt(3)) -1L else r.getLong(3),
+      if (r.isNullAt(4)) -1L else r.getLong(4),
+      r.getLong(5), r.getString(6)))
+      .sortBy(t => (t._1, t._2)).toSeq
+
+  test("multi: crafted edges — restart, extra starts, leading/extra ends, timeout") {
+    val timeout = 100L
+    val evs = Seq(
+      ("k1", 0L, "s"), ("k1", 10L, "e"), ("k1", 20L, "s"), ("k1", 30L, "e"),
+      ("k2", 0L, "s"), ("k2", 5L, "s"), ("k2", 8L, "s"), ("k2", 12L, "e"),
+      ("k3", 0L, "e"), ("k3", 10L, "s"), ("k3", 20L, "e"), ("k3", 25L, "e"),
+      ("k3", 30L, "s"),
+      ("k4", 0L, "s"), ("k4", 150L, "e"), ("k4", 200L, "s"))
+    val df = evs.map { case (k, t, a) => (k, t * 1000000L, t, a) }
+      .toDF("conv_id", "ts_us", "ts_sec", "action")
+    val got = multiRows(Elapsed.multi(df, "conv_id",
+      col("action") === "s", col("action") === "e", timeout))
+    val want = Seq(
+      ("k1", 1L, 0L, 10L, 10L, 0L, "matched"),
+      ("k1", 2L, 20L, 30L, 10L, 0L, "matched"),
+      ("k2", 1L, 0L, 12L, 12L, 2L, "matched"),
+      ("k3", 1L, 10L, 20L, 10L, 0L, "matched"),
+      ("k3", 2L, 30L, -1L, -1L, 0L, "expired"),
+      ("k4", 1L, 0L, -1L, -1L, 0L, "expired"),
+      ("k4", 2L, 200L, -1L, -1L, 0L, "expired"))
+    assert(got === want)
+  }
+
+  test("multi: 60 seeded random tapes equal the naive state machine") {
+    val rnd = new scala.util.Random(4242)
+    val timeout = 40L
+    val tapes = (0 until 60).map { k =>
+      val n = 1 + rnd.nextInt(12)
+      s"k$k" -> (0 until n).map(i =>
+        (i * (3L + rnd.nextInt(15)), rnd.nextBoolean()))
+    }
+    val df = tapes.flatMap { case (k, evs) => evs.map { case (t, isS) =>
+      (k, t * 1000000L, t, if (isS) "s" else "e") } }
+      .toDF("conv_id", "ts_us", "ts_sec", "action")
+    val got = multiRows(Elapsed.multi(df, "conv_id",
+      col("action") === "s", col("action") === "e", timeout))
+    val want = tapes.flatMap { case (k, evs) =>
+      naiveMulti(evs, timeout).map(r => (k, r._1, r._2, r._3, r._4, r._5, r._6))
+    }.sortBy(t => (t._1, t._2))
+    assert(got === want)
+    assert(got.exists(_._6 > 0), "fuzz must hit extra-starts")
+    assert(got.exists(_._7 == "expired") && got.exists(_._7 == "matched"))
+  }
+
   test("streaming twin (FMGWS, event-time timeout): matched == batch exactly, expired is a prefix") {
     import java.nio.file.Files
     import org.apache.spark.sql.streaming.Trigger

@@ -139,6 +139,28 @@ class IncrementalSpec extends SparkSuite {
     val ptr = byRun("0001").getAs[String]("input_files_table")
     val files = spark.read.parquet(s"$stateDir/$ptr")
     assert(files.count() === byRun("0001").getAs[Long]("n_input_files"))
+
+    // r4 stateReport: one row per state table of the LATEST run, counts
+    // equal to the state the next run would actually load
+    val sr = Incremental.stateReport(spark, stateDir)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    assert(sr.map(_._1).distinct.toSeq === Seq("0002"))
+    assert(sr.map(_._2).sorted.toSeq ===
+      Seq("fired", "fp_seen", "freq_counts", "seen_values"))
+    val st = Incremental.loadFullState(spark, stateDir)
+    val loaded = Map(
+      "seen_values" -> st.seenValues.map(_.count()).getOrElse(0L),
+      "fp_seen" -> st.fpSeen.map(_.count()).getOrElse(0L),
+      "freq_counts" -> st.freqCounts.map(_.count()).getOrElse(0L),
+      "fired" -> st.firedBuckets.map(_.count()).getOrElse(0L))
+    sr.foreach { case (_, t, n) => assert(n === loaded(t), s"table $t") }
+    assert(sr.exists(_._3 > 0), "at least one state table must be non-empty")
+    // drill-down accessor returns the same rows the loader uses
+    val sv = Incremental.stateTable(spark, stateDir, "seen_values")
+    assert(sv.isDefined && sv.get.count() === loaded("seen_values"))
+    // empty state dir → empty report
+    val emptyDir = Files.createTempDirectory("graft-state-empty").toString
+    assert(Incremental.stateReport(spark, emptyDir).count() === 0L)
   }
 
   test("5-run chain: alerts equal single run; state snapshot bounded to trailing window") {

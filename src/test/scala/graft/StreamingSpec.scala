@@ -227,7 +227,8 @@ class StreamingSpec extends SparkSuite {
       .sortBy(t => (t._1, t._2)).toSeq
 
     val got = key(runToMemory(
-      StreamPipeline.sessionizeStream(streamTurns, "1 hour"), "sess"))
+      StreamPipeline.sessionizeStream(streamTurns, "1 hour",
+        lateness = "0 seconds"), "sess"))
 
     val batch = spark.createDataset(fx.turns).toDF()
       .groupBy(col("conv_id"), session_window(col("ts"), "1 hour").as("w"))
