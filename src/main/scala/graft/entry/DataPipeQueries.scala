@@ -768,7 +768,7 @@ object DataPipeQueries {
       val ipr = nearestC(e.filter(col("vec_id") < 20), 2)
         .select(col("vec_id").as("qid"), col("cid"),
           col("v").as("qv"), col("nrm").as("qn"))
-      val ivf = ipr.join(asg, Seq("cid")).filter(col("nid") =!= col("qid"))
+      val ivf = broadcast(ipr).join(asg, Seq("cid")).filter(col("nid") =!= col("qid"))
         .select("qid", "nid", "qv", "qn", "nv", "nn").distinct()
         .withColumn("c", cosQ)
         .withColumn("rk", row_number().over(
@@ -833,7 +833,7 @@ object DataPipeQueries {
       val probes = nearest(e.filter(col("vec_id") < 10), 2)
         .select(col("vec_id").as("qid"), col("cid"),
           col("v").as("qv"), col("nrm").as("qn"))
-      probes.join(asg, Seq("cid")).filter(col("nid") =!= col("qid"))
+      broadcast(probes).join(asg, Seq("cid")).filter(col("nid") =!= col("qid"))
         .select(col("qid"), col("nid"), col("qv"), col("qn"), col("nv"), col("nn"))
         .distinct()
         .withColumn("cs", round(ArrayDot.dot(col("qv"), col("nv"))
@@ -941,7 +941,7 @@ object DataPipeQueries {
       val probes = IvfTrain.nearest(ep.filter(col("vec_id") < 10), cdf, IvfProbes)
         .select(col("vec_id").as("qid"), col("cid"),
           col("vd").as("qv"), col("nd").as("qn"))
-      probes.join(asg, Seq("cid")).filter(col("nid") =!= col("qid"))
+      broadcast(probes).join(asg, Seq("cid")).filter(col("nid") =!= col("qid"))
         .select("qid", "nid", "qv", "qn", "nv", "nn").distinct()
         .withColumn("cs",
           round(ArrayDot.dot(col("qv"), col("nv")) / (col("qn") * col("nn")), 6))
@@ -1033,7 +1033,7 @@ object DataPipeQueries {
         .select(col("vec_id").as("nid"), col("cid"))
       val iprobes = IvfTrain.nearest(ep.filter(col("vec_id") < 20), cdf, IvfProbes)
         .select(col("vec_id").as("qid"), col("cid"))
-      val icand = iprobes.join(asg, Seq("cid")).filter(col("nid") =!= col("qid"))
+      val icand = broadcast(iprobes).join(asg, Seq("cid")).filter(col("nid") =!= col("qid"))
         .select("qid", "nid").distinct()
       val ivf = top10(icand.join(q, "qid").join(n, "nid"))
       def hitRow(m: String, cand: DataFrame): DataFrame =

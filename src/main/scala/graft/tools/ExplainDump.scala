@@ -60,7 +60,11 @@ object SparkEntryPlans {
     Seq("c3_ioc", "c6_first_seen", "c7_frequency", "dd_minhash_lsh",
       "dd_ngram_jaccard", "c9b_alert_docs", "ann_topk_bruteforce", "q3_join_multi",
       "p20_elapsed", "ann_lsh_multiprobe", "dd_simhash", "dd_cluster_cc",
-      "agg_percentile")
+      "agg_percentile",
+      // r4 additions: multi-transaction elapsed (run-collapse windows),
+      // trained IVF, multi-table hyperplane LSH, segment dedup, curation
+      "p20b_elapsed_multi", "ann_ivf_trained", "ann_lsh_rp", "dd_line_dedup",
+      "ta_curation")
       .flatMap(n => byName.get(n).map(q => n -> q.fn(spark, sfDir)))
   }
 }
