@@ -189,6 +189,77 @@ object StreamPipeline {
         })
   }
 
+  final case class ElapsedMultiSt(sUs: Long, sSec: Long, extra: Long)
+  final case class ElapsedMultiOut(key: String, start_sec: Long,
+      end_sec: Option[Long], elapsed_sec: Option[Long], n_extra_starts: Long,
+      status: String)
+
+  /** P20b streaming twin: the MULTI-transaction elapsed state machine
+    * (graft.operators.Elapsed.multi) as FMGWS — a new transaction per key
+    * after each completed one, extra starts counted, ends-while-closed
+    * ignored. State is one open transaction per key, REMOVED on close (a
+    * closed machine needs no memory — the next start opens fresh), so state
+    * size is O(keys with an open transaction), not O(keys ever seen).
+    *
+    * Divergence from batch, documented: batch `multi` classifies by timeout
+    * only at emit, so a start arriving AFTER an open transaction's timeout
+    * but BEFORE its (late) end counts as an extra start there; here the
+    * event-time timeout has already expired+closed the transaction, so that
+    * start opens a NEW transaction. A streaming machine cannot hold state
+    * open unboundedly waiting to find out — every other tape shape agrees
+    * exactly (spec-pinned), and trailing open transactions are `expired`
+    * rows batch emits that the stream only emits once the watermark passes
+    * their timeout (the ElapsedSpec prefix caveat). */
+  def elapsedMultiStream(parsed: DataFrame, key: String, isStart: Column,
+      isEnd: Column, timeoutSec: Long): Dataset[ElapsedMultiOut] = {
+    val spark = parsed.sparkSession
+    import spark.implicits._
+    val evs = parsed.withColumn("ts", col("ts").cast("timestamp"))
+      .filter(isStart || isEnd)
+      .withWatermark("ts", "0 seconds")
+      .select(col(key).cast("string").as("key"), col("ts_us"), col("ts_sec"),
+        isStart.as("start"), isEnd.as("end"), col("ts"))
+      .as[ElapsedEv]
+    evs.groupByKey(_.key)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(
+        (k: String, it: Iterator[ElapsedEv], state: GroupState[ElapsedMultiSt]) => {
+          if (state.hasTimedOut) {
+            val st = state.get
+            state.remove()
+            Iterator.single(
+              ElapsedMultiOut(k, st.sSec, None, None, st.extra, "expired"))
+          } else {
+            val sorted = it.toArray.sortBy(e => (e.ts_us, !e.start))
+            var open = state.getOption
+            val out = scala.collection.mutable.ArrayBuffer.empty[ElapsedMultiOut]
+            for (e <- sorted) {
+              open match {
+                case None if e.start =>
+                  open = Some(ElapsedMultiSt(e.ts_us, e.ts_sec, 0L))
+                case Some(st) if e.start =>
+                  open = Some(st.copy(extra = st.extra + 1))
+                case Some(st) if e.end && e.ts_us >= st.sUs =>
+                  if (e.ts_us - st.sUs <= timeoutSec * 1000000L)
+                    out += ElapsedMultiOut(k, st.sSec, Some(e.ts_sec),
+                      Some(e.ts_sec - st.sSec), st.extra, "matched")
+                  else
+                    out += ElapsedMultiOut(k, st.sSec, None, None, st.extra,
+                      "expired")
+                  open = None
+                case _ => // end while closed: ignored
+              }
+            }
+            open match {
+              case Some(st) =>
+                state.update(st)
+                state.setTimeoutTimestamp(st.sUs / 1000L + timeoutSec * 1000L)
+              case None => if (state.exists) state.remove()
+            }
+            out.iterator
+          }
+        })
+  }
+
   final case class TaskEv(key: String, ts_us: Long, ts_sec: Long, end: Boolean,
       status: Option[Int], action: Option[String], ts: java.sql.Timestamp)
   /** Per-task accumulators + done flag — one small record per task, the

@@ -205,4 +205,57 @@ class ElapsedSpec extends SparkSuite {
     assert(gotMatched.nonEmpty && gotExpired.nonEmpty,
       "fixture must exercise both resolutions through the stream")
   }
+
+  test("multi streaming twin (FMGWS): matched == batch multi exactly, expired a subset") {
+    import java.nio.file.Files
+    import org.apache.spark.sql.streaming.Trigger
+    import graft.streaming.StreamPipeline
+    import spark.implicits._
+
+    val fx = Gen.fixture(150)
+    val base = Files.createTempDirectory("graft-elapsedm-in").toString
+    val sorted = fx.turns.sortBy(t => (t.ts.getTime, t.conv_id, t.turn_idx))
+    val n = sorted.size
+    Seq(sorted.slice(0, n / 3), sorted.slice(n / 3, 2 * n / 3), sorted.slice(2 * n / 3, n))
+      .zipWithIndex.foreach { case (p, i) =>
+        val tmp = Files.createTempDirectory("graft-elapsedm-part").toString
+        spark.createDataset(p).toDF().coalesce(1).write.mode("overwrite").parquet(tmp)
+        val src = new java.io.File(tmp).listFiles()
+          .filter(_.getName.endsWith(".parquet")).head
+        val dst = java.nio.file.Paths.get(base, f"part-$i%03d.parquet")
+        Files.move(src.toPath, dst)
+        Files.setLastModifiedTime(dst,
+          java.nio.file.attribute.FileTime.fromMillis(1700000000000L + i * 60000L))
+        ()
+      }
+    val stream = spark.readStream
+      .schema(spark.read.parquet(base).schema)
+      .option("maxFilesPerTrigger", "1").parquet(base)
+    val streamTimeout = 600L
+    val out = StreamPipeline.elapsedMultiStream(Parse(stream, fx.conf), "conv_id",
+      col("action") === "login", col("action") === "upload", streamTimeout)
+    val q = out.writeStream.outputMode("append").format("memory")
+      .queryName("elapm").trigger(Trigger.AvailableNow()).start()
+    q.processAllAvailable(); q.stop()
+
+    def key(r: org.apache.spark.sql.Row) = (r.getString(0), r.getLong(1),
+      if (r.isNullAt(2)) -1L else r.getLong(2),
+      if (r.isNullAt(3)) -1L else r.getLong(3), r.getLong(4), r.getString(5))
+    val got = spark.table("elapm").collect().map(key).toSeq
+    // batch twin, txn index dropped (stream emits per close, not numbered)
+    val batch = Elapsed.multi(Parse(spark.createDataset(fx.turns).toDF(), fx.conf),
+      "conv_id", col("action") === "login", col("action") === "upload", streamTimeout)
+      .drop("txn").collect().map(key).toSeq
+
+    val gm = got.filter(_._6 == "matched").toSet
+    val bm = batch.filter(_._6 == "matched").toSet
+    assert(gm === bm)
+    val ge = got.filter(_._6 == "expired").toSet
+    val be = batch.filter(_._6 == "expired").toSet
+    assert(ge.subsetOf(be), s"extra expired: ${ge -- be}")
+    assert(gm.nonEmpty && ge.nonEmpty)
+    // multi must actually multi: some key resolves more than one transaction
+    assert(got.groupBy(_._1).exists(_._2.size > 1),
+      "no key produced multiple transactions through the stream")
+  }
 }
