@@ -1089,6 +1089,46 @@ object DataPipeQueries {
         .orderBy("doc_id")
     },
 
+    // ---- repetition heuristics (r4, Gopher-style): duplicate word-2-gram
+    // fraction + single-most-frequent-word fraction, integer basis points —
+    // the standard repeated-template / keyword-stuffing gates a curation
+    // pass applies alongside ta_quality. 2-gram stats compute per row
+    // (narrow, codegen'd); only the top-word mode needs an explode + two
+    // map-side-combining aggs.
+    Q("ta_repetition",
+      """WITH d AS (
+        |  SELECT doc_id, len(str_split(text, ' ')) AS nw,
+        |    len(str_split(text, ' ')) - 1 AS n2,
+        |    len(list_distinct(list_transform(range(len(str_split(text, ' ')) - 1),
+        |      i -> str_split(text, ' ')[i + 1] || ' ' || str_split(text, ' ')[i + 2]))) AS nd2
+        |  FROM documents WHERE len(str_split(text, ' ')) >= 2),
+        |wc AS (
+        |  SELECT doc_id, word, count(*) AS c
+        |  FROM (SELECT doc_id, unnest(str_split(text, ' ')) AS word
+        |        FROM documents WHERE len(str_split(text, ' ')) >= 2)
+        |  GROUP BY doc_id, word),
+        |tw AS (SELECT doc_id, max(c) AS topc FROM wc GROUP BY doc_id)
+        |SELECT d.doc_id, CAST(d.nw AS INT) AS nw,
+        |  CAST(((d.n2 - d.nd2) * 10000) // d.n2 AS INT) AS dup2_bp,
+        |  CAST((tw.topc * 10000) // d.nw AS INT) AS top_word_bp
+        |FROM d JOIN tw USING (doc_id) ORDER BY doc_id""".stripMargin) { (s, d) =>
+      val grams2 = expr(
+        """array_distinct(transform(sequence(0, size(split(text, ' ')) - 2),
+          |  i -> concat(element_at(split(text, ' '), i + 1), ' ',
+          |              element_at(split(text, ' '), i + 2))))""".stripMargin)
+      val base = docs(s, d).filter(size(wordsCol) >= 2)
+      val dd = base.select(col("doc_id"), size(wordsCol).as("nw"),
+        (size(wordsCol) - 1).as("n2"), size(grams2).as("nd2"))
+      val tw = base.select(col("doc_id"), explode(wordsCol).as("word"))
+        .groupBy("doc_id", "word").agg(count(lit(1)).as("c"))
+        .groupBy("doc_id").agg(max(col("c")).as("topc"))
+      dd.join(tw, "doc_id")
+        .select(col("doc_id"), col("nw").cast("int").as("nw"),
+          floor((col("n2") - col("nd2")) * 10000 / col("n2")).cast("int").as("dup2_bp"),
+          floor(col("topc") * 10000 / col("nw")).cast("int").as("top_word_bp"))
+        .orderBy("doc_id")
+    },
+
     // ---- token counting: whitespace + BPE-ish regex sub-tokens.
     Q("ta_tokens",
       """SELECT doc_id,
