@@ -51,4 +51,27 @@ class PlanShapeSpec extends SparkSuite {
       assert(dedupForm || freqForm, s"unsanctioned window: ${l.trim}")
     }
   }
+
+  test("r4 query plans: IVF probe side broadcasts, no cartesian product in the new operators") {
+    assume(new java.io.File("/root/testdata/sf0.001").isDirectory,
+      "driver testdata not mounted")
+    val d = "/root/testdata/sf0.001"
+    // EXECUTED plan (post-AQE): the pre-execution plan hides runtime join
+    // conversions, and a regression here is exactly a runtime join choice
+    def executed(name: String): String = {
+      val df = SparkEntry.queries(name)(spark, d)
+      df.foreach(_ => ())
+      df.queryExecution.executedPlan.toString
+    }
+    val ivf = executed("ann_ivf_trained")
+    assert(!ivf.contains("SortMergeJoin"),
+      "IVF probes (nprobe x n_queries rows) must broadcast, not sort-merge")
+    assert(!ivf.contains("CartesianProduct"),
+      "only BroadcastNestedLoopJoin against the 16-row codebook is sanctioned")
+    Seq("ann_lsh_rp", "dd_line_dedup", "p20b_elapsed_multi", "ta_repetition")
+      .foreach { q =>
+        assert(!executed(q).contains("CartesianProduct"),
+          s"$q grew a cartesian product")
+      }
+  }
 }
