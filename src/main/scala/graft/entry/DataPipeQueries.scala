@@ -384,21 +384,21 @@ object DataPipeQueries {
     },
 
     // ---- eval-contamination screen (r4): deterministic pseudo-eval-set
-    // (doc_id % 97 == 0); a training doc is contaminated when it shares ANY
+    // (doc_id % 23 == 0); a training doc is contaminated when it shares ANY
     // distinct 8-gram with any eval doc. Shape: hashed-shingle equijoin
     // (the same primitive as dd_ngram_jaccard), never doc×doc.
     Q("dd_contamination",
       s"""WITH g8 AS (
          |  SELECT doc_id, unnest($gram8SqlD) AS h
          |  FROM documents WHERE len(str_split(text, ' ')) >= 8),
-         |ev AS (SELECT DISTINCT h FROM g8 WHERE doc_id % 97 = 0),
-         |tr AS (SELECT doc_id, h FROM g8 WHERE doc_id % 97 != 0)
+         |ev AS (SELECT DISTINCT h FROM g8 WHERE doc_id % 23 = 0),
+         |tr AS (SELECT doc_id, h FROM g8 WHERE doc_id % 23 != 0)
          |SELECT doc_id, CAST(count(*) AS INT) AS n_shared
          |FROM tr JOIN ev USING (h) GROUP BY doc_id ORDER BY doc_id""".stripMargin) { (s, d) =>
       val g8 = docs(s, d).filter(size(wordsCol) >= 8)
         .select(col("doc_id"), explode(gram8Expr).as("h"))
-      val ev = g8.filter(col("doc_id") % 97 === 0).select("h").distinct()
-      g8.filter(col("doc_id") % 97 =!= 0).join(ev, "h")
+      val ev = g8.filter(col("doc_id") % 23 === 0).select("h").distinct()
+      g8.filter(col("doc_id") % 23 =!= 0).join(ev, "h")
         .groupBy("doc_id").agg(count(lit(1)).cast("int").as("n_shared"))
         .orderBy("doc_id")
     },
@@ -408,10 +408,10 @@ object DataPipeQueries {
          |g8 AS (
          |  SELECT doc_id, unnest($gram8SqlD) AS h
          |  FROM documents WHERE len(str_split(text, ' ')) >= 8),
-         |ev AS (SELECT DISTINCT h FROM g8 WHERE doc_id % 97 = 0),
+         |ev AS (SELECT DISTINCT h FROM g8 WHERE doc_id % 23 = 0),
          |contaminated AS (
          |  SELECT DISTINCT tr.doc_id FROM g8 tr JOIN ev USING (h)
-         |  WHERE tr.doc_id % 97 != 0),
+         |  WHERE tr.doc_id % 23 != 0),
          |losers AS (SELECT node AS doc_id FROM lab WHERE node != comp),
          |f AS (SELECT doc_id, $langScoresSqlD,
          |    len(str_split(text, ' ')) AS nw,
@@ -422,7 +422,7 @@ object DataPipeQueries {
          |SELECT doc_id, CAST(nw AS INT) AS nw, CAST(uniq_bp AS INT) AS uniq_bp
          |FROM g WHERE pred_lang = 'en' AND nw >= 5 AND uniq_bp >= 3500
          |  AND doc_id NOT IN (SELECT doc_id FROM losers)
-         |  AND doc_id % 97 != 0
+         |  AND doc_id % 23 != 0
          |  AND doc_id NOT IN (SELECT doc_id FROM contaminated)
          |ORDER BY doc_id""".stripMargin) { (s, d) =>
       val feat = withLangScores(docs(s, d))
@@ -437,13 +437,13 @@ object DataPipeQueries {
       // excluded from the training corpus (anti-joins, same primitive).
       val g8 = docs(s, d).filter(size(wordsCol) >= 8)
         .select(col("doc_id"), explode(gram8Expr).as("h"))
-      val ev = g8.filter(col("doc_id") % 97 === 0).select("h").distinct()
-      val contaminated = g8.filter(col("doc_id") % 97 =!= 0).join(ev, "h")
+      val ev = g8.filter(col("doc_id") % 23 === 0).select("h").distinct()
+      val contaminated = g8.filter(col("doc_id") % 23 =!= 0).join(ev, "h")
         .select("doc_id").distinct()
       feat.join(losers, Seq("doc_id"), "left_anti")
         .join(contaminated, Seq("doc_id"), "left_anti")
         .filter(col("pred_lang") === "en" && col("nw") >= 5 &&
-          col("uniq_bp") >= 3500 && col("doc_id") % 97 =!= 0)
+          col("uniq_bp") >= 3500 && col("doc_id") % 23 =!= 0)
         .select(col("doc_id"), col("nw").cast("int").as("nw"), col("uniq_bp"))
         .orderBy("doc_id")
     },
