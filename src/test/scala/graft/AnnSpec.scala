@@ -102,4 +102,49 @@ class AnnSpec extends SparkSuite {
     assert(sizes.length === 10 && sizes.max <= 3L * sizes.min,
       s"trained posting lists unbalanced: ${sizes.sorted.mkString(",")}")
   }
+
+  test("materialized IVF index: search prunes to the probed posting-list partitions") {
+    import org.apache.spark.sql.functions._
+    import graft.operators.IvfTrain
+    import spark.implicits._
+    assume(new java.io.File("/root/testdata/sf0.001/embeddings.parquet").exists,
+      "driver testdata not mounted")
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val ep = IvfTrain.prepared(e).localCheckpoint()
+    val cdf = IvfTrain.centroidDf(spark,
+      IvfTrain.train(spark, ep, 16, 3, 64))
+    val dir = java.nio.file.Files.createTempDirectory("graft-ivf-idx").toString
+
+    IvfTrain.writeIndex(ep, cdf, dir)
+    // one directory per posting list (cid) — the partition layout IS the index
+    val parts = new java.io.File(dir).listFiles().filter(_.getName.startsWith("cid="))
+    assert(parts.length === 16, s"expected 16 posting-list partitions, ${parts.length}")
+
+    val q = ep.filter(col("vec_id") < 5)
+    val got = IvfTrain.search(spark, dir, cdf, q, nprobe = 3, k = 10)
+    // results == the same search done against the un-materialized assignment
+    val asg = IvfTrain.nearest(ep, cdf, 1)
+      .select(col("vec_id").as("nid"), col("cid"), col("vd").as("nv"), col("nd").as("nn"))
+    val probes = IvfTrain.nearest(q, cdf, 3)
+      .select(col("vec_id").as("qid"), col("cid"), col("vd").as("qv"), col("nd").as("qn"))
+    val want = broadcast(probes).join(asg, Seq("cid"))
+      .filter(col("nid") =!= col("qid"))
+      .select("qid", "nid", "qv", "qn", "nv", "nn").distinct()
+      .withColumn("cs", round(graft.functions.ArrayDot.dot(col("qv"), col("nv"))
+        / (col("qn") * col("nn")), 6))
+      .withColumn("rank", row_number().over(org.apache.spark.sql.expressions
+        .Window.partitionBy("qid").orderBy(desc("cs"), asc("nid"))))
+      .filter(col("rank") <= 10).select("qid", "rank", "nid")
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).sortBy(t => (t._1, t._2)).toSeq
+    assert(rows(got) === rows(want))
+
+    // and the SCAN was pruned: the executed plan's parquet scan carries a
+    // cid partition filter, reading fewer than all 16 partitions
+    val plan = got.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("cid"),
+      s"no partition filter on the index scan:\n$plan")
+    val probedLists = probes.select("cid").distinct().count()
+    assert(probedLists < 16, "fixture probed every list — pruning unprovable")
+  }
 }
