@@ -166,9 +166,22 @@ object StreamPipeline {
               Iterator.single(ElapsedOut(k, st.sSec, None, None, "expired"))
             }
           } else {
+            val wmMs = state.getCurrentWatermarkMs()
             val sorted = it.toArray.sortBy(e => (e.ts_us, e.ts_sec))
             var st = state.getOption.getOrElse(ElapsedSt(-1L, -1L, done = false))
             val out = scala.collection.mutable.ArrayBuffer.empty[ElapsedOut]
+            // An open transaction whose deadline the watermark has already
+            // passed HAS expired — but Spark delivers this data batch before
+            // its timeout callback, and re-arming a timeout at-or-below the
+            // watermark throws (killing the query; ADVICE r4). Close it here
+            // exactly as the hasTimedOut branch would; any end event in this
+            // batch necessarily has ts ≥ watermark > deadline, so it would
+            // have been classified `expired` anyway — same output either way.
+            if (st.sUs >= 0 && !st.done &&
+                st.sUs / 1000L + timeoutSec * 1000L <= wmMs) {
+              out += ElapsedOut(k, st.sSec, None, None, "expired")
+              st = st.copy(done = true)
+            }
             for (e <- sorted if !st.done) {
               if (st.sUs < 0 && e.start) st = ElapsedSt(e.ts_us, e.ts_sec, done = false)
               else if (st.sUs >= 0 && e.end && e.ts_us >= st.sUs) {
@@ -181,8 +194,9 @@ object StreamPipeline {
             }
             if (st.sUs >= 0) {
               state.update(st)
-              if (!st.done)
-                state.setTimeoutTimestamp(st.sUs / 1000L + timeoutSec * 1000L)
+              if (!st.done) // clamp: a 0-second timeout would otherwise re-arm AT the watermark
+                state.setTimeoutTimestamp(
+                  math.max(st.sUs / 1000L + timeoutSec * 1000L, wmMs + 1L))
             }
             out.iterator
           }
@@ -229,9 +243,22 @@ object StreamPipeline {
             Iterator.single(
               ElapsedMultiOut(k, st.sSec, None, None, st.extra, "expired"))
           } else {
+            val wmMs = state.getCurrentWatermarkMs()
             val sorted = it.toArray.sortBy(e => (e.ts_us, !e.start))
             var open = state.getOption
             val out = scala.collection.mutable.ArrayBuffer.empty[ElapsedMultiOut]
+            // Same watermark-vs-timeout race as [[elapsedStream]] (ADVICE r4):
+            // if the watermark already passed the open transaction's deadline,
+            // data arrives before the timeout callback and re-arming below the
+            // watermark would throw. Expire-and-close first — a start in this
+            // batch then opens a NEW transaction, which is exactly the
+            // documented timeout-fires-first divergence from batch.
+            open match {
+              case Some(st) if st.sUs / 1000L + timeoutSec * 1000L <= wmMs =>
+                out += ElapsedMultiOut(k, st.sSec, None, None, st.extra, "expired")
+                open = None
+              case _ =>
+            }
             for (e <- sorted) {
               open match {
                 case None if e.start =>
@@ -252,7 +279,8 @@ object StreamPipeline {
             open match {
               case Some(st) =>
                 state.update(st)
-                state.setTimeoutTimestamp(st.sUs / 1000L + timeoutSec * 1000L)
+                state.setTimeoutTimestamp(
+                  math.max(st.sUs / 1000L + timeoutSec * 1000L, wmMs + 1L))
               case None => if (state.exists) state.remove()
             }
             out.iterator

@@ -206,6 +206,79 @@ class ElapsedSpec extends SparkSuite {
       "fixture must exercise both resolutions through the stream")
   }
 
+  test("streaming: watermark passes deadline in the batch where new key data arrives " +
+      "(ADVICE r4 race) — query survives, timeout-fires-first divergence pinned") {
+    import java.nio.file.Files
+    import org.apache.spark.sql.streaming.Trigger
+    import graft.streaming.StreamPipeline
+    import spark.implicits._
+
+    // Tape engineered so the watermark (set by key `w`'s events) passes k's
+    // open-transaction deadline BEFORE the batch carrying k's next events:
+    //   file 0: k start @1000s; w event @1700s  → watermark after b0 = 1700
+    //           (k's deadline = 1000 + 600 = 1600 < 1700, but k has data in
+    //            the next batch so hasTimedOut never fires for it)
+    //   file 1: k start @1750s                  → the race batch
+    //   file 2: k end   @1760s; w event @3000s  → closes the reopened txn
+    // Pre-fix, batch 1 re-armed k's timeout at 1600s ≤ watermark 1700s and
+    // GroupStateImpl.setTimeoutTimestamp threw, killing the whole query.
+    val timeoutSec = 600L
+    def ev(k: String, sec: Long, a: String) =
+      (k, sec * 1000000L, sec, a, new java.sql.Timestamp(sec * 1000L))
+    // w's events must survive the operator's isStart||isEnd filter (the
+    // watermark is applied AFTER it), so they are starts; asserts filter to k
+    val files = Seq(
+      Seq(ev("k", 1000L, "s"), ev("w", 1700L, "s")),
+      Seq(ev("k", 1750L, "s")),
+      Seq(ev("k", 1760L, "e"), ev("w", 3000L, "s")))
+    val base = Files.createTempDirectory("graft-elapsed-race").toString
+    files.zipWithIndex.foreach { case (evs, i) =>
+      val tmp = Files.createTempDirectory("graft-elapsed-race-part").toString
+      evs.toDF("conv_id", "ts_us", "ts_sec", "action", "ts")
+        .coalesce(1).write.mode("overwrite").parquet(tmp)
+      val src = new java.io.File(tmp).listFiles()
+        .filter(_.getName.endsWith(".parquet")).head
+      val dst = java.nio.file.Paths.get(base, f"part-$i%03d.parquet")
+      Files.move(src.toPath, dst)
+      Files.setLastModifiedTime(dst,
+        java.nio.file.attribute.FileTime.fromMillis(1700000000000L + i * 60000L))
+      ()
+    }
+    val stream = spark.readStream
+      .schema(spark.read.parquet(base).schema)
+      .option("maxFilesPerTrigger", "1").parquet(base)
+
+    // multi: old txn expires (extra=0 — the 1750 start is NOT an extra start,
+    // it opens a NEW transaction: the documented timeout-fires-first
+    // divergence from batch, which would count it as extra on the 1000 txn),
+    // then the reopened txn matches 1750→1760.
+    val outM = StreamPipeline.elapsedMultiStream(stream, "conv_id",
+      col("action") === "s", col("action") === "e", timeoutSec)
+    val qm = outM.writeStream.outputMode("append").format("memory")
+      .queryName("elapm_race").trigger(Trigger.AvailableNow()).start()
+    qm.processAllAvailable(); qm.stop() // pre-fix: StreamingQueryException here
+    val gotM = spark.table("elapm_race").collect().map(r => (r.getString(0),
+      r.getLong(1), if (r.isNullAt(2)) -1L else r.getLong(2),
+      if (r.isNullAt(3)) -1L else r.getLong(3), r.getLong(4), r.getString(5)))
+      .filter(_._1 == "k").sortBy(_._2).toSeq
+    assert(gotM === Seq(
+      ("k", 1000L, -1L, -1L, 0L, "expired"),
+      ("k", 1750L, 1760L, 10L, 0L, "matched")))
+
+    // single-transaction twin on the same tape: one resolution per key, the
+    // 1000s txn expired; later events must not re-pair (done-keys stay done)
+    val outS = StreamPipeline.elapsedStream(stream, "conv_id",
+      col("action") === "s", col("action") === "e", timeoutSec)
+    val qs = outS.writeStream.outputMode("append").format("memory")
+      .queryName("elap_race").trigger(Trigger.AvailableNow()).start()
+    qs.processAllAvailable(); qs.stop()
+    val gotS = spark.table("elap_race").collect().map(r => (r.getString(0),
+      r.getLong(1), if (r.isNullAt(2)) -1L else r.getLong(2),
+      if (r.isNullAt(3)) -1L else r.getLong(3), r.getString(4)))
+      .filter(_._1 == "k").toSeq
+    assert(gotS === Seq(("k", 1000L, -1L, -1L, "expired")))
+  }
+
   test("multi streaming twin (FMGWS): matched == batch multi exactly, expired a subset") {
     import java.nio.file.Files
     import org.apache.spark.sql.streaming.Trigger
