@@ -15,7 +15,13 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
-    SparkEntry.queries.foreach { case (name, fn) =>
+    // dev loop: SPARK_GRAFT_ONLY=q1,q2 restricts the dump (and the oracle
+    // json) to a subset, so one new query can be differential-checked in
+    // seconds; unset (the driver's mode) dumps everything
+    val only = sys.env.get("SPARK_GRAFT_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    def included(name: String): Boolean = only.forall(_.contains(name))
+    SparkEntry.queries.filter(kv => included(kv._1)).foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
@@ -29,7 +35,7 @@ object Verify {
     // JSON escape via the shared helper (a tab or CR in builder-authored
     // SQL would otherwise make the driver's json.load fail)
     def q(s: String): String = graft.util.Json.quote(s)
-    val json = SparkEntry.oracleSql
+    val json = SparkEntry.oracleSql.filter(kv => included(kv._1))
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     spark.stop()

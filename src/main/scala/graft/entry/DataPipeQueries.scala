@@ -153,6 +153,22 @@ object DataPipeQueries {
     s"CASE $cases ELSE '${keys.last}' END"
   }
 
+  // ---- stratified corpus sampling/mixing spec (r5, VERDICT r4 #4): target
+  // keep-rate in basis points per (language, quality-band) stratum — the
+  // corpus-mixing knob of a training-data pipeline. Rendered into BOTH
+  // engines from this ONE Seq so spec and oracle cannot drift. The sampler
+  // is deterministic mod-hash (h4 of md5(doc_id || '#mix')), so the kept
+  // set is engine-exact, stable across runs, and embarrassingly parallel —
+  // no RNG, no shuffle beyond the final per-stratum count.
+  private val mixSpec: Seq[(String, String, Int)] = Seq(
+    ("de", "hi", 5000), ("de", "lo", 1500),
+    ("en", "hi", 8000), ("en", "lo", 3000),
+    ("es", "hi", 5000), ("es", "lo", 1500),
+    ("fr", "hi", 5000), ("fr", "lo", 1500),
+    ("zh", "hi", 2000), ("zh", "lo", 500))
+  private val mixValuesSqlD: String =
+    mixSpec.map { case (l, b, t) => s"('$l', '$b', $t)" }.mkString(", ")
+
   /** DuckDB recursive-CTE oracle of the near-dup CC labels (shared by
     * dd_cluster_cc and ta_curation — one definition, two queries): verified
     * Jaccard pairs -> undirected edges -> transitive closure -> min label. */
@@ -230,13 +246,27 @@ object DataPipeQueries {
     * Returns (node, comp) where comp = min doc_id of the component — the
     * kept canonical doc. */
   private def ccLabels(pairs: DataFrame): DataFrame = {
+    // fault-tolerance seam (VERDICT r4 #7): localCheckpoint truncates
+    // lineage but stores blocks only on executors — on a real cluster a
+    // lost executor invalidates the loop mid-flight. Setting
+    // `spark.graft.cc.checkpointDir` switches every per-round checkpoint to
+    // a RELIABLE one (HDFS/object-store backed), the form a 100-TB CC run
+    // needs; the local harness keeps the cheap default.
+    val sess = pairs.sparkSession
+    val reliable = sess.conf.getOption("spark.graft.cc.checkpointDir")
+    reliable.foreach { dir =>
+      if (sess.sparkContext.getCheckpointDir.isEmpty)
+        sess.sparkContext.setCheckpointDir(dir)
+    }
+    def ckpt(df: DataFrame): DataFrame =
+      if (reliable.isDefined) df.checkpoint() else df.localCheckpoint()
     // retain (NOT cycle): jaccardVerified already cycled its docsh cache for
     // this query; cycling again here would evict it before materialization
     val jp = QueryCache.retain(pairs.select(col("i"), col("j")))
-    val edges = jp.unionAll(jp.select(col("j").as("i"), col("i").as("j")))
-      .toDF("a", "b").localCheckpoint()
-    var labels = edges.select(col("a").as("node")).distinct()
-      .withColumn("comp", col("node")).localCheckpoint()
+    val edges = ckpt(jp.unionAll(jp.select(col("j").as("i"), col("i").as("j")))
+      .toDF("a", "b"))
+    var labels = ckpt(edges.select(col("a").as("node")).distinct()
+      .withColumn("comp", col("node")))
     var changed = 1L
     var iter = 0
     val MaxIter = pairs.sparkSession.conf
@@ -247,21 +277,19 @@ object DataPipeQueries {
         .groupBy(col("a").as("node")).agg(min(col("nc")).as("nbr_min"))
       // checkpoint before the self-join below, or the neighbour join runs
       // twice per round (once per self-join side)
-      val prop = labels.join(nbr, Seq("node"), "left_outer")
+      val prop = ckpt(labels.join(nbr, Seq("node"), "left_outer")
         .select(col("node"),
           least(col("comp"), coalesce(col("nbr_min"), col("comp"))).as("comp"),
-          (coalesce(col("nbr_min"), col("comp")) < col("comp")).as("_chg"))
-        .localCheckpoint()
+          (coalesce(col("nbr_min"), col("comp")) < col("comp")).as("_chg")))
       // pointer doubling: comp := comp(comp). comp is always some node's id
       // (init comp=node), so the self-join by comp→node total-covers.
-      val next = prop
+      val next = ckpt(prop
         .join(prop.select(col("node").as("comp"), col("comp").as("cc2")),
           Seq("comp"), "left_outer")
         .select(col("node"),
           least(col("comp"), coalesce(col("cc2"), col("comp"))).as("comp"),
           (col("_chg") ||
-            coalesce(col("cc2"), col("comp")) < col("comp")).as("_chg"))
-        .localCheckpoint()
+            coalesce(col("cc2"), col("comp")) < col("comp")).as("_chg")))
       changed = next.filter(col("_chg")).count()
       labels = next.drop("_chg")
       iter += 1
@@ -951,6 +979,49 @@ object DataPipeQueries {
         .select("qid", "rank", "nid").orderBy("qid", "rank")
     },
 
+    // ---- MATERIALIZED-IVF round trip (r5, VERDICT r4 #5): train → write
+    // the index as parquet PARTITIONED BY posting list (cid) → search with
+    // partition pruning to the probed lists — the literal 100-TB form
+    // ("posting lists are partition keys"), now itself a hash-checked
+    // differential rather than only a plan assert (AnnSpec keeps pinning
+    // the PartitionFilters pruning). The oracle replays training via the
+    // unrolled CTE chain and searches the probed lists directly.
+    Q("ann_ivf_index", {
+      val cos = s"${graft.operators.IvfTrain.dotSql("e.embedding", "c.cv", 64)} / (e.nd * c.cn)"
+      s"""WITH ${graft.operators.IvfTrain.oracleCtes(IvfK, IvfIters, 64)},
+         |asg AS (
+         |  SELECT vec_id AS nid, cid FROM (
+         |    SELECT e.vec_id, c.cid, row_number() OVER (PARTITION BY e.vec_id
+         |      ORDER BY $cos DESC, c.cid) AS rk
+         |    FROM eq e, cents$IvfIters c) WHERE rk = 1),
+         |probes AS (
+         |  SELECT vec_id AS qid, cid FROM (
+         |    SELECT e.vec_id, c.cid, row_number() OVER (PARTITION BY e.vec_id
+         |      ORDER BY $cos DESC, c.cid) AS rk
+         |    FROM eq e, cents$IvfIters c WHERE e.vec_id < 10) WHERE rk <= $IvfProbes),
+         |cand AS (
+         |  SELECT DISTINCT p.qid, a.nid
+         |  FROM probes p JOIN asg a ON p.cid = a.cid AND a.nid != p.qid),
+         |sc AS (
+         |  SELECT cand.qid, cand.nid,
+         |    round(list_cosine_similarity(q.embedding, n.embedding), 6) AS cs
+         |  FROM cand
+         |  JOIN embeddings q ON q.vec_id = cand.qid
+         |  JOIN embeddings n ON n.vec_id = cand.nid),
+         |rk AS (SELECT qid, nid,
+         |    row_number() OVER (PARTITION BY qid ORDER BY cs DESC, nid) AS rank FROM sc)
+         |SELECT qid, rank, nid FROM rk WHERE rank <= 10 ORDER BY qid, rank""".stripMargin
+    }) { (s, d) =>
+      import graft.operators.IvfTrain
+      val ep = cycle(IvfTrain.prepared(embs(s, d)))
+      val cdf = IvfTrain.centroidDf(s, IvfTrain.train(s, ep, IvfK, IvfIters, 64))
+      val path = java.nio.file.Files
+        .createTempDirectory("graft-ivf-index").toString
+      IvfTrain.writeIndex(ep, cdf, path)
+      IvfTrain.search(s, path, cdf, ep.filter(col("vec_id") < 10),
+        IvfProbes, 10).orderBy("qid", "rank")
+    },
+
     // ---- recall of the r4 production paths (lsh_rp multi-table,
     // ivf_trained) vs brute-force truth@10 — itself a differential, like
     // ann_recall for the r3 paths. recall_bp = hits·10000/(10·20).
@@ -1127,6 +1198,48 @@ object DataPipeQueries {
           floor((col("n2") - col("nd2")) * 10000 / col("n2")).cast("int").as("dup2_bp"),
           floor(col("topc") * 10000 / col("nw")).cast("int").as("top_word_bp"))
         .orderBy("doc_id")
+    },
+
+    // ---- stratified corpus sampling / mixing (r5): stratify by
+    // (predicted language × quality band), keep each doc iff a
+    // deterministic hash of its id clears the stratum's target rate —
+    // hash-based Bernoulli sampling, the standard way to hit corpus mixture
+    // weights reproducibly at 100 TB (same doc always samples the same
+    // way; no RNG state, no coordination). Emits per-stratum totals vs
+    // kept vs target so mixture drift is auditable.
+    Q("ta_sample_mix",
+      s"""WITH st AS (
+         |  SELECT doc_id, lang,
+         |    CASE WHEN (len(list_distinct(str_split(text, ' '))) * 10000)
+         |      // len(str_split(text, ' ')) >= 3500
+         |      THEN 'hi' ELSE 'lo' END AS band
+         |  FROM documents),
+         |mix(lang, band, target_bp) AS (VALUES $mixValuesSqlD),
+         |k AS (SELECT st.lang, st.band, coalesce(mix.target_bp, 0) AS target_bp,
+         |    ${h4Sql("CAST(doc_id AS VARCHAR) || '#mix'")} % 10000
+         |      < coalesce(mix.target_bp, 0) AS kept
+         |  FROM st LEFT JOIN mix USING (lang, band))
+         |SELECT lang, band, target_bp, CAST(count(*) AS BIGINT) AS n_total,
+         |  CAST(sum(CASE WHEN kept THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
+         |FROM k GROUP BY lang, band, target_bp
+         |ORDER BY lang, band""".stripMargin) { (s, d) =>
+      import s.implicits._
+      val st = docs(s, d)
+        .withColumn("band",
+          when(floor(size(array_distinct(wordsCol)) * 10000 / size(wordsCol))
+            >= 3500, "hi").otherwise("lo"))
+      val mix = mixSpec.toDF("lang", "band", "target_bp")
+      // LEFT join + coalesce(0): a stratum missing from the spec keeps its
+      // rows visible with 0 kept (auditable) instead of silently vanishing
+      st.join(broadcast(mix), Seq("lang", "band"), "left_outer")
+        .withColumn("target_bp", coalesce(col("target_bp"), lit(0)))
+        .withColumn("kept",
+          h4Spark(concat(col("doc_id").cast("string"), lit("#mix"))) % 10000
+            < col("target_bp"))
+        .groupBy("lang", "band", "target_bp")
+        .agg(count(lit(1)).as("n_total"),
+          sum(when(col("kept"), 1L).otherwise(0L)).as("n_kept"))
+        .orderBy("lang", "band")
     },
 
     // ---- token counting: whitespace + BPE-ish regex sub-tokens.
