@@ -72,8 +72,10 @@ object Incremental {
   }
 
   /** A state table from the LATEST completed run only — snapshots are full,
-    * so one run dir is the entire state (O(1) in run count). */
-  private def loadLatest(spark: SparkSession, stateDir: String,
+    * so one run dir is the entire state (O(1) in run count). Shared with the
+    * curation-state runner (operators/CurationState.scala), which follows the
+    * same snapshot/manifest protocol over its own table names. */
+  private[graft] def loadLatest(spark: SparkSession, stateDir: String,
       table: String): Option[DataFrame] = {
     completedRuns(stateDir).lastOption.flatMap { r =>
       val p = s"$stateDir/run-$r/$table"
@@ -370,7 +372,7 @@ object Incremental {
   }
 
   /** Manifest written atomically (tmp + move) and LAST. */
-  private def writeManifest(stateDir: String, runId: String,
+  private[graft] def writeManifest(stateDir: String, runId: String,
       metrics: Map[String, Long], fileSample: Seq[String]): Unit = {
     // centralized escaper: control chars (a newline/tab is legal in a POSIX
     // input-file path) must not yield an unparseable manifest — that would

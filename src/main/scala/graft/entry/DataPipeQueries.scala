@@ -95,20 +95,15 @@ object DataPipeQueries {
   private val IvfIters = 3
   private val IvfProbes = 3
 
-  /** Non-overlapping 10-word segment windows of `text`, as
-    * struct(seg_idx, seg) — the CCNet-style "line" unit for boilerplate
-    * removal (dd_line_dedup). */
-  private def segWindowsExpr: Column = expr(
-    """transform(
-      |  sequence(0, CAST(floor((size(split(text, ' ')) + 9) / 10) AS INT) - 1),
-      |  k -> struct(k AS seg_idx,
-      |    array_join(slice(split(text, ' '), k * 10 + 1, 10), ' ') AS seg))""".stripMargin)
+  /** Non-overlapping 10-word segment windows of `text` (the CCNet-style
+    * "line" unit, dd_line_dedup) — canonical Spark form in
+    * [[graft.functions.TextUnits]], shared with the resumable curation-state
+    * runner so batch and incremental semantics cannot drift. */
+  private def segWindowsExpr: Column = graft.functions.TextUnits.segWindows
 
   /** Distinct md5-hashed word-8-gram shingles of `text` (contamination
     * screen); single-line DuckDB twin below. */
-  private def gram8Expr: Column = expr(
-    """array_distinct(transform(sequence(0, size(split(text, ' ')) - 8),
-      |  i -> md5(array_join(slice(split(text, ' '), i + 1, 8), ' '))))""".stripMargin)
+  private def gram8Expr: Column = graft.functions.TextUnits.gram8
   private val gram8SqlD: String =
     "list_distinct(list_transform(range(len(str_split(text, ' ')) - 7), " +
       "i -> md5(array_to_string(str_split(text, ' ')[i + 1 : i + 8], ' '))))"
@@ -168,6 +163,26 @@ object DataPipeQueries {
     ("zh", "hi", 2000), ("zh", "lo", 500))
   private val mixValuesSqlD: String =
     mixSpec.map { case (l, b, t) => s"('$l', '$b', $t)" }.mkString(", ")
+
+  /** Eval seam (r5, VERDICT r4 #3): (eval 8-gram set, train-doc 8-grams)
+    * for the contamination screen. `spark.graft.eval.path` set ⇒ the eval
+    * set is a LOADED table (RuleLoader.evalTexts — json or parquet) and
+    * every document is a train doc; unset (the driver's differential mode)
+    * ⇒ the deterministic pseudo-set fixture (doc_id % 23 membership). */
+  private def evalSplit(s: SparkSession, d: String): (DataFrame, DataFrame) = {
+    val g8 = docs(s, d).filter(size(wordsCol) >= 8)
+      .select(col("doc_id"), explode(gram8Expr).as("h"))
+    s.conf.getOption("spark.graft.eval.path") match {
+      case Some(p) =>
+        val ev = graft.sources.RuleLoader.evalTexts(s, p)
+          .filter(size(split(col("text"), " ")) >= 8)
+          .select(explode(gram8Expr).as("h")).distinct()
+        (ev, g8)
+      case None =>
+        (g8.filter(col("doc_id") % 23 === 0).select("h").distinct(),
+          g8.filter(col("doc_id") % 23 =!= 0))
+    }
+  }
 
   /** DuckDB recursive-CTE oracle of the near-dup CC labels (shared by
     * dd_cluster_cc and ta_curation — one definition, two queries): verified
@@ -423,10 +438,8 @@ object DataPipeQueries {
          |tr AS (SELECT doc_id, h FROM g8 WHERE doc_id % 23 != 0)
          |SELECT doc_id, CAST(count(*) AS INT) AS n_shared
          |FROM tr JOIN ev USING (h) GROUP BY doc_id ORDER BY doc_id""".stripMargin) { (s, d) =>
-      val g8 = docs(s, d).filter(size(wordsCol) >= 8)
-        .select(col("doc_id"), explode(gram8Expr).as("h"))
-      val ev = g8.filter(col("doc_id") % 23 === 0).select("h").distinct()
-      g8.filter(col("doc_id") % 23 =!= 0).join(ev, "h")
+      val (ev, tr) = evalSplit(s, d)
+      tr.join(ev, "h")
         .groupBy("doc_id").agg(count(lit(1)).cast("int").as("n_shared"))
         .orderBy("doc_id")
     },
@@ -463,16 +476,75 @@ object DataPipeQueries {
       // r4: the eval-contamination screen rides the same curation pass —
       // eval-member docs and any train doc sharing an 8-gram with one are
       // excluded from the training corpus (anti-joins, same primitive).
-      val g8 = docs(s, d).filter(size(wordsCol) >= 8)
-        .select(col("doc_id"), explode(gram8Expr).as("h"))
-      val ev = g8.filter(col("doc_id") % 23 === 0).select("h").distinct()
-      val contaminated = g8.filter(col("doc_id") % 23 =!= 0).join(ev, "h")
-        .select("doc_id").distinct()
+      // Under the r5 conf-driven eval seam there are no member doc_ids, so
+      // the id-membership gate exists only in pseudo mode; loaded-eval
+      // exact copies are caught by the gram screen itself.
+      val (ev, trG8) = evalSplit(s, d)
+      val contaminated = trG8.join(ev, "h").select("doc_id").distinct()
+      val memberGate =
+        if (s.conf.getOption("spark.graft.eval.path").isDefined) lit(true)
+        else col("doc_id") % 23 =!= 0
       feat.join(losers, Seq("doc_id"), "left_anti")
         .join(contaminated, Seq("doc_id"), "left_anti")
         .filter(col("pred_lang") === "en" && col("nw") >= 5 &&
-          col("uniq_bp") >= 3500 && col("doc_id") % 23 =!= 0)
+          col("uniq_bp") >= 3500 && memberGate)
         .select(col("doc_id"), col("nw").cast("int").as("nw"), col("uniq_bp"))
+        .orderBy("doc_id")
+    },
+
+    // ---- RESUMABLE curation state (r5, VERDICT r4 #2): the same dedup /
+    // boilerplate / contamination semantics, run INCREMENTALLY through the
+    // snapshot/manifest state protocol (operators/CurationState.scala).
+    // The query ingests the corpus as TWO batches — the originals, then an
+    // id-shifted duplicate copy (so cross-run dedup demonstrably drops a
+    // whole batch) — then screens the surviving canonical docs against the
+    // accumulated segment-frequency and eval-gram state. The oracle runs the
+    // SAME corpus single-pass: green means run(A) then run(B) equals
+    // run(A ∪ B), the property that makes weekly corpus ingestion sound.
+    Q("dd_incremental",
+      s"""WITH docs2 AS (
+         |  SELECT doc_id, text FROM documents
+         |  UNION ALL
+         |  SELECT doc_id + (SELECT max(doc_id) + 1 FROM documents), text
+         |  FROM documents),
+         |segs AS (
+         |  SELECT doc_id, unnest(list_transform(
+         |    range((len(str_split(text, ' ')) + 9) // 10), k ->
+         |      {'seg_idx': k, 'seg': array_to_string(
+         |        str_split(text, ' ')[k * 10 + 1 : k * 10 + 10], ' ')})) AS s
+         |  FROM docs2),
+         |e AS (SELECT doc_id, s.seg_idx AS seg_idx, s.seg AS seg FROM segs),
+         |fr AS (SELECT md5(seg) AS h, count(*) AS n FROM e GROUP BY 1),
+         |k AS (SELECT e.doc_id, e.seg_idx, e.seg, fr.n >= 3 AS boiler
+         |      FROM e JOIN fr ON md5(e.seg) = fr.h),
+         |line AS (SELECT doc_id, CAST(count(*) AS INT) AS n_segs,
+         |  CAST(sum(CASE WHEN boiler THEN 1 ELSE 0 END) AS INT) AS n_dropped,
+         |  coalesce(string_agg(CASE WHEN NOT boiler THEN seg END, ' '
+         |    ORDER BY seg_idx), '') AS clean_text
+         |  FROM k GROUP BY doc_id),
+         |keepers AS (SELECT min(doc_id) AS doc_id FROM docs2 GROUP BY md5(text)),
+         |g8 AS (SELECT doc_id, unnest($gram8SqlD) AS h
+         |  FROM docs2 WHERE len(str_split(text, ' ')) >= 8),
+         |ev AS (SELECT DISTINCT h FROM g8 WHERE doc_id % 23 = 0),
+         |sh AS (SELECT doc_id, CAST(count(*) AS INT) AS n_shared
+         |  FROM g8 JOIN ev USING (h) GROUP BY doc_id)
+         |SELECT kp.doc_id, line.n_segs, line.n_dropped, line.clean_text,
+         |  coalesce(sh.n_shared, 0) AS n_shared
+         |FROM keepers kp JOIN line USING (doc_id) LEFT JOIN sh USING (doc_id)
+         |ORDER BY kp.doc_id""".stripMargin) { (s, d) =>
+      import graft.operators.CurationState
+      val base = docs(s, d).select(col("doc_id"), col("text"))
+      val mx = base.agg(max(col("doc_id"))).first().getLong(0)
+      val shifted = base.select((col("doc_id") + lit(mx + 1)).as("doc_id"),
+        col("text"))
+      val stateDir = java.nio.file.Files
+        .createTempDirectory("graft-cur-state").toString
+      CurationState.run(s, base, stateDir, "1")
+      CurationState.run(s, shifted, stateDir, "2")
+      val keepers = CurationState.load(s, stateDir).contentHashes.get
+        .select(col("keep_id").as("doc_id"))
+      CurationState.screen(s,
+          base.unionByName(shifted).join(keepers, Seq("doc_id")), stateDir)
         .orderBy("doc_id")
     },
 

@@ -61,6 +61,18 @@ object RuleLoader {
     readJson(spark, path)
       .select(col("key").as("ref_key"), col("field"), col("value"))
 
+  /** Eval-set table for the contamination screen (r5, VERDICT r4 #3): one
+    * `text` row per eval item. `eval.json` (multiLine array of
+    * {"text": …}) for hand-shipped sets, or a parquet dir for large ones —
+    * unlike the rule files this is NOT broadcast-small by contract (real
+    * eval suites run to millions of rows), so it stays a distributed
+    * DataFrame end-to-end; the screens hash-equijoin its 8-grams. Queries
+    * pick it up via the `spark.graft.eval.path` session conf; unset keeps
+    * the deterministic pseudo-set fixture. */
+  def evalTexts(spark: SparkSession, path: String): DataFrame =
+    (if (path.endsWith(".json")) readJson(spark, path)
+     else spark.read.parquet(path)).select(col("text"))
+
   /** Optional mappings.json — the sig filter's FIELD-MAPPING config surface:
     * which fields compose the C1 fingerprint, which event field each IOC
     * kind probes (C3), which fields the C5 ref check compares, which fields
