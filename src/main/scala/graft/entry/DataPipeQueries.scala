@@ -1314,6 +1314,24 @@ object DataPipeQueries {
         .orderBy("lang", "band")
     },
 
+    // ---- model-scorer seam differential (r5): the per-partition scorer
+    // seam (operators/QualityModel.scala — the drop-in point for a learned
+    // quality classifier) driven by its deterministic integer stub, which
+    // DuckDB replays exactly. Green means the seam's PLUMBING — typed
+    // encoders, partition batching, schema — is hash-correct; the loadable
+    // LinearScorer leg rides the same seam (ModelScorerSpec).
+    Q("ta_model_score",
+      """SELECT doc_id, CAST(least(10000,
+        |  ((len(list_distinct(str_split(text, ' '))) * 10000)
+        |    // len(str_split(text, ' '))) // 2
+        |  + least(len(str_split(text, ' ')), 100) * 30
+        |  + length(text) % 100) AS INT) AS score_bp
+        |FROM documents ORDER BY doc_id""".stripMargin) { (s, d) =>
+      graft.operators.QualityModel
+        .score(docs(s, d), graft.operators.QualityModel.StubScorer)
+        .orderBy("doc_id")
+    },
+
     // ---- token counting: whitespace + BPE-ish regex sub-tokens.
     Q("ta_tokens",
       """SELECT doc_id,
