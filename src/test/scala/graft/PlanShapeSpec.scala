@@ -74,4 +74,26 @@ class PlanShapeSpec extends SparkSuite {
           s"$q grew a cartesian product")
       }
   }
+
+  test("r5 query plans: mix spec broadcasts, no cartesian in the new operators") {
+    assume(new java.io.File("/root/testdata/sf0.001").isDirectory,
+      "driver testdata not mounted")
+    val d = "/root/testdata/sf0.001"
+    def executed(name: String): String = {
+      val df = SparkEntry.queries(name)(spark, d)
+      df.foreach(_ => ())
+      df.queryExecution.executedPlan.toString
+    }
+    val mix = executed("ta_sample_mix")
+    assert(mix.contains("BroadcastHashJoin"),
+      "the 10-row mixture spec must broadcast against the corpus")
+    assert(!mix.contains("SortMergeJoin"), "mix spec join regressed to SMJ")
+    // dd_incremental/ann_ivf_index run multi-job protocols inside the query
+    // fn; the RETURNED plan (screen / pruned search) is what is pinned here
+    Seq("ta_sample_mix", "ta_model_score", "dd_incremental", "ann_ivf_index")
+      .foreach { q =>
+        assert(!executed(q).contains("CartesianProduct"),
+          s"$q grew a cartesian product")
+      }
+  }
 }
