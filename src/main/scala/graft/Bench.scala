@@ -28,7 +28,10 @@ object Bench {
     // and min is the right estimator for "what this plan costs" — the slow
     // samples measure the machine, not the query
     val nRuns = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "2").toInt
-    val results = ordered.map { case (name, fn) =>
+    // dev loop: skip the ~100-query suite to iterate on the e2e
+    // decomposition alone (the driver's mode runs everything)
+    val e2eOnly = sys.env.contains("SPARK_GRAFT_BENCH_E2E_ONLY")
+    val results = (if (e2eOnly) Seq.empty else ordered).map { case (name, fn) =>
       val times = (1 to nRuns).flatMap { _ =>
         val t0 = System.nanoTime()
         try { fn(spark, sfDir).count(); Some((System.nanoTime() - t0) / 1e9) }
@@ -58,25 +61,39 @@ object Bench {
       try {
         val counts = Pipeline.route(spark, enriched, graft.entry.LogQueries.tconf, outDir)
         require((counts - "total").values.sum > 0, "route produced no alerts")
-        (counts("total"), (System.nanoTime() - t0) / 1e9)
+        val w = (System.nanoTime() - t0) / 1e9
+        System.err.println(f"[bench] e2e pass rows=${counts("total")} wall=$w%.3f")
+        (counts("total"), w)
       } finally cleanup()
     }
+    // INTERLEAVED full/slice passes (after one untimed warmup each),
+    // min per point — the same discipline as ScalingBench's A/B bests: a
+    // host-degradation window then hits both points instead of poisoning
+    // one side of the fit (a single timed slice pass measured 3.5–42 s on
+    // this host; min-of-interleaved-3 is stable)
     val fullTurns = graft.entry.TestdataAdapter.turns(spark, sfDir)
-    val (nFull, wFull) = { e2eOnce(fullTurns); e2eOnce(fullTurns) }
-    val e2e = nFull / wFull
     val sliceTurns = fullTurns.filter(
       org.apache.spark.sql.functions.pmod(org.apache.spark.sql.functions.hash(
         org.apache.spark.sql.functions.col("conv_id")), org.apache.spark.sql.functions.lit(16)) === 0)
-    val (nSlice, wSlice) = { e2eOnce(sliceTurns); e2eOnce(sliceTurns) }
+    e2eOnce(fullTurns); e2eOnce(sliceTurns)
+    val passes = (1 to math.max(nRuns, 3)).map(_ => (e2eOnce(fullTurns), e2eOnce(sliceTurns)))
+    val (nFull, wFull) = passes.map(_._1).minBy(_._2)
+    val e2e = nFull / wFull
+    val (nSlice, wSlice) = passes.map(_._2).minBy(_._2)
     val perRowSec = (wFull - wSlice) / (nFull - nSlice).toDouble
-    val fixedSec = wFull - nFull * perRowSec
+    // a non-positive slope means fixed overhead swamps the row cost at this
+    // sf and the fit is noise — report the points, not a nonsense rate
+    val decompOk = perRowSec > 0
+    val fixedSec = if (decompOk) wFull - nFull * perRowSec else wFull
     val qs = results.map { case (k, v) => jq(k) + ":" + v }.mkString("{", ",", "}")
     val errJson = errors.map { case (k, v) => jq(k) + ":" + jq(v) }.mkString("{", ",", "}")
     val total = results.collect { case (_, v) if v >= 0 => v }.sum
     println(s"""{"metric":"total","value":$total,"unit":"sec","n_failed":${errors.size},""" +
       s""""errors":$errJson,"queries":$qs,""" +
       s""""e2e_turns_per_sec":$e2e,"e2e_rows":$nFull,"e2e_wall_sec":$wFull,""" +
-      s""""e2e_fixed_sec_est":$fixedSec,"e2e_marginal_rows_per_sec":${1.0 / perRowSec},""" +
+      s""""e2e_slice_rows":$nSlice,"e2e_slice_wall_sec":$wSlice,""" +
+      s""""e2e_fixed_sec_est":$fixedSec,"e2e_marginal_rows_per_sec":${
+        if (decompOk) (1.0 / perRowSec).toString else "null"},""" +
       s""""cpus":$cpus,"sf":"$sfDir"}""")
     spark.stop()
     if (errors.nonEmpty) sys.exit(1)

@@ -1094,6 +1094,54 @@ object DataPipeQueries {
         IvfProbes, 10).orderBy("qid", "rank")
     },
 
+    // ---- incremental index maintenance (r5): the corpus GROWS — train the
+    // codebook on the first half, materialize its index, then APPEND the
+    // second half by assignment alone (IvfTrain.appendIndex — one
+    // broadcast-assign + partitioned parquet append, no rebuild), and
+    // search the combined index. The oracle replays training over only the
+    // first half (oracleCtes trainWhere) but assigns/search over everything
+    // — exactly what the append produces. This is the vector-side twin of
+    // dd_incremental: ingest N new embeddings costs O(N·k), not O(corpus).
+    Q("ann_ivf_append", {
+      val cos = s"${graft.operators.IvfTrain.dotSql("e.embedding", "c.cv", 64)} / (e.nd * c.cn)"
+      s"""WITH ${graft.operators.IvfTrain.oracleCtes(IvfK, IvfIters, 64,
+             "vec_id < (SELECT count(*) // 2 FROM embeddings)")},
+         |asg AS (
+         |  SELECT vec_id AS nid, cid FROM (
+         |    SELECT e.vec_id, c.cid, row_number() OVER (PARTITION BY e.vec_id
+         |      ORDER BY $cos DESC, c.cid) AS rk
+         |    FROM eq e, cents$IvfIters c) WHERE rk = 1),
+         |probes AS (
+         |  SELECT vec_id AS qid, cid FROM (
+         |    SELECT e.vec_id, c.cid, row_number() OVER (PARTITION BY e.vec_id
+         |      ORDER BY $cos DESC, c.cid) AS rk
+         |    FROM eq e, cents$IvfIters c WHERE e.vec_id < 10) WHERE rk <= $IvfProbes),
+         |cand AS (
+         |  SELECT DISTINCT p.qid, a.nid
+         |  FROM probes p JOIN asg a ON p.cid = a.cid AND a.nid != p.qid),
+         |sc AS (
+         |  SELECT cand.qid, cand.nid,
+         |    round(list_cosine_similarity(q.embedding, n.embedding), 6) AS cs
+         |  FROM cand
+         |  JOIN embeddings q ON q.vec_id = cand.qid
+         |  JOIN embeddings n ON n.vec_id = cand.nid),
+         |rk AS (SELECT qid, nid,
+         |    row_number() OVER (PARTITION BY qid ORDER BY cs DESC, nid) AS rank FROM sc)
+         |SELECT qid, rank, nid FROM rk WHERE rank <= 10 ORDER BY qid, rank""".stripMargin
+    }) { (s, d) =>
+      import graft.operators.IvfTrain
+      val ep = cycle(IvfTrain.prepared(embs(s, d)))
+      val half = embs(s, d).count() / 2
+      val cdf = IvfTrain.centroidDf(s,
+        IvfTrain.train(s, ep.filter(col("vec_id") < half), IvfK, IvfIters, 64))
+      val path = java.nio.file.Files
+        .createTempDirectory("graft-ivf-append").toString
+      IvfTrain.writeIndex(ep.filter(col("vec_id") < half), cdf, path)
+      IvfTrain.appendIndex(ep.filter(col("vec_id") >= half), cdf, path)
+      IvfTrain.search(s, path, cdf, ep.filter(col("vec_id") < 10),
+        IvfProbes, 10).orderBy("qid", "rank")
+    },
+
     // ---- recall of the r4 production paths (lsh_rp multi-table,
     // ivf_trained) vs brute-force truth@10 — itself a differential, like
     // ann_recall for the r3 paths. recall_bp = hits·10000/(10·20).
@@ -1330,6 +1378,44 @@ object DataPipeQueries {
       graft.operators.QualityModel
         .score(docs(s, d), graft.operators.QualityModel.StubScorer)
         .orderBy("doc_id")
+    },
+
+    // ---- sequence packing (r5): GPT-style concat-and-chunk batch prep —
+    // documents are concatenated in doc_id order and cut into fixed
+    // B=256-token training sequences; each doc reports the token offset it
+    // starts at and the [seq_first, seq_last] block span it lands in.
+    // Packing is PER SHARD (doc_id % 4): the running-sum window partitions
+    // by shard, so at 100 TB every shard packs independently in parallel —
+    // the global-total-order cumsum (the naive formulation) never exists.
+    // Shard count is the parallelism knob; one worker = one shard's tape.
+    // All-integer, engine-exact.
+    Q("ta_pack_sequences",
+      """WITH t AS (
+        |  SELECT doc_id, doc_id % 4 AS shard,
+        |    CAST(len(str_split(text, ' ')) AS BIGINT) AS n_tok
+        |  FROM documents),
+        |o AS (
+        |  SELECT shard, doc_id, n_tok,
+        |    coalesce(sum(n_tok) OVER (PARTITION BY shard ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS start_tok
+        |  FROM t)
+        |SELECT CAST(shard AS INT) AS shard, doc_id,
+        |  CAST(n_tok AS INT) AS n_tok,
+        |  CAST(start_tok AS BIGINT) AS start_tok,
+        |  CAST(start_tok // 256 AS INT) AS seq_first,
+        |  CAST((start_tok + n_tok - 1) // 256 AS INT) AS seq_last
+        |FROM o ORDER BY shard, doc_id""".stripMargin) { (s, d) =>
+      val w = Window.partitionBy("shard").orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      docs(s, d)
+        .select(col("doc_id"), (col("doc_id") % 4).cast("int").as("shard"),
+          size(wordsCol).cast("long").as("n_tok"))
+        .withColumn("start_tok", coalesce(sum(col("n_tok")).over(w), lit(0L)))
+        .select(col("shard"), col("doc_id"), col("n_tok").cast("int").as("n_tok"),
+          col("start_tok"),
+          expr("CAST(start_tok div 256 AS INT)").as("seq_first"),
+          expr("CAST((start_tok + n_tok - 1) div 256 AS INT)").as("seq_last"))
+        .orderBy("shard", "doc_id")
     },
 
     // ---- token counting: whitespace + BPE-ish regex sub-tokens.

@@ -168,6 +168,20 @@ object IvfTrain {
       .select(col("vec_id"), col("cid"), col("vd"), col("nd"))
       .write.mode("overwrite").partitionBy("cid").parquet(path)
 
+  /** Appends a NEW batch of vectors to an existing [[writeIndex]] table
+    * without retraining: assign to the frozen codebook, append to the
+    * posting-list partitions. This is how the index follows a growing
+    * corpus (the dd_incremental story for vectors) — ingest is one
+    * broadcast-assign + partitioned append, never a rebuild; [[search]]
+    * sees old + new rows through the same pruned scan. Retrain cadence is
+    * a policy knob (recall decays only as the data DISTRIBUTION drifts,
+    * not with volume); the `ann_ivf_append` differential pins that
+    * half-trained assignment of the full corpus is exact. */
+  def appendIndex(epNew: DataFrame, cdf: DataFrame, path: String): Unit =
+    nearest(epNew, cdf, 1)
+      .select(col("vec_id"), col("cid"), col("vd"), col("nd"))
+      .write.mode("append").partitionBy("cid").parquet(path)
+
   /** Top-k cosine search over a [[writeIndex]] table. The probed cids are
     * collected to the driver BY CONTRACT (≤ nprobe × |queries| ints — query
     * batches are bounded; the corpus is not) and pushed as a literal IN
@@ -203,8 +217,13 @@ object IvfTrain {
     (1 to dim).map(d => s"$a[$d] * $b[$d]").mkString("(", " + ", ")")
 
   /** CTE chain `eq, cents0, asg1, cents1, …, cents{iters}` replaying
-    * [[train]] exactly; downstream SQL uses `cents{iters}` (cid, cv, cn). */
-  def oracleCtes(k: Int, iters: Int, dim: Int): String = {
+    * [[train]] exactly; downstream SQL uses `cents{iters}` (cid, cv, cn).
+    * With `trainWhere` set, training reads only `eq WHERE trainWhere`
+    * (exposed as CTE `eqt`) while `eq` stays the full corpus — the replay
+    * of train-on-a-slice / assign-everything ([[appendIndex]], and the
+    * documented 100-TB train-on-sample path). */
+  def oracleCtes(k: Int, iters: Int, dim: Int, trainWhere: String = ""): String = {
+    val trainSrc = if (trainWhere.isEmpty) "eq" else "eqt"
     val qExpr = "list_transform(CAST(embedding AS DOUBLE[]), x -> " +
       "CAST(round(x * 1000000) AS BIGINT))"
     val ndExpr = "sqrt(" + (1 to dim).map(d =>
@@ -221,7 +240,7 @@ object IvfTrain {
          |    sqrt(${dotSqlDD("cv0.cv_pre", "cv0.cv_pre", dim)}) AS cn
          |  FROM (SELECT vec_id, q,
          |          list_transform(q, x -> CAST(x AS DOUBLE) / 1000000.0) AS cv_pre
-         |        FROM eq WHERE vec_id < $k) cv0)""".stripMargin
+         |        FROM $trainSrc WHERE vec_id < $k) cv0)""".stripMargin
     val iterCtes = (1 to iters).map { i =>
       val prev = s"cents${i - 1}"
       val cos = s"${dotSql("e.embedding", "c.cv", dim)} / (e.nd * c.cn)"
@@ -231,7 +250,7 @@ object IvfTrain {
          |  SELECT vec_id, cid, q FROM (
          |    SELECT e.vec_id, c.cid, e.q, row_number() OVER (
          |      PARTITION BY e.vec_id ORDER BY $cos DESC, c.cid) AS rk
-         |    FROM eq e, $prev c) WHERE rk = 1),
+         |    FROM $trainSrc e, $prev c) WHERE rk = 1),
          |sums$i AS (
          |  SELECT cid, [$sumList] AS cv FROM asg$i GROUP BY cid),
          |cents$i AS (
@@ -239,6 +258,9 @@ object IvfTrain {
          |    sqrt(${dotSqlDD("coalesce(s.cv, p.cv)", "coalesce(s.cv, p.cv)", dim)}) AS cn
          |  FROM $prev p LEFT JOIN sums$i s USING (cid))""".stripMargin
     }
-    (eq +: cents0 +: iterCtes).mkString(",\n")
+    val eqt =
+      if (trainWhere.isEmpty) Seq.empty[String]
+      else Seq(s"eqt AS (\n  SELECT * FROM eq WHERE $trainWhere)")
+    ((eq +: eqt) ++ (cents0 +: iterCtes)).mkString(",\n")
   }
 }

@@ -412,6 +412,38 @@ object StreamPipeline {
     ran.toSeq
   }
 
+  /** Streaming twin of the resumable CURATION pipeline (the corpus-side
+    * analogue of [[runFull]]): ONE readStream → foreachBatch where every
+    * micro-batch of (doc_id, text) rows is folded into
+    * [[graft.operators.CurationState]] — cross-batch exact dedup, segment
+    * frequencies, eval grams — with the same snapshot/manifest protocol, so
+    * the stream's end state is BIT-EQUAL to one batch pass over the same
+    * rows (all three merges are associative; pinned by CurationStreamSpec).
+    * Same contract as runFull: micro-batches ascending and non-overlapping
+    * in doc_id (file source + maxFilesPerTrigger over id-ordered files);
+    * manifest = commit marker, so crash-replayed batches are skipped. */
+  def curationStream(spark: SparkSession, docsStream: DataFrame,
+      stateDir: String, checkpointDir: String,
+      evalDocs: Option[DataFrame] = None): Seq[String] = {
+    val ran = scala.collection.mutable.ArrayBuffer.empty[String]
+    val q = docsStream.writeStream
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", checkpointDir)
+      .outputMode(OutputMode.Append)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val runId = f"$batchId%06d"
+        if (!graft.Incremental.completedRuns(stateDir).contains(runId)) {
+          graft.operators.CurationState.run(spark, batch, stateDir, runId, evalDocs)
+          ran += runId
+        }
+        ()
+      }
+      .start()
+    q.processAllAvailable()
+    q.stop()
+    ran.toSeq
+  }
+
   /** Fan-out sink: one foreachBatch pass writes all per-severity sinks
     * (streaming can't natively multi-sink one query — SURVEY §2.8). */
   def routeAvailableNow(spark: SparkSession, enriched: DataFrame,

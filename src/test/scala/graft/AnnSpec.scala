@@ -147,4 +147,30 @@ class AnnSpec extends SparkSuite {
     val probedLists = probes.select("cid").distinct().count()
     assert(probedLists < 16, "fixture probed every list — pruning unprovable")
   }
+
+  test("appendIndex: write(first half) + append(second half) == write(all), same codebook") {
+    import org.apache.spark.sql.functions._
+    import graft.operators.IvfTrain
+    assume(new java.io.File("/root/testdata/sf0.001/embeddings.parquet").exists,
+      "driver testdata not mounted")
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val ep = IvfTrain.prepared(e).localCheckpoint()
+    val half = e.count() / 2
+    // codebook frozen on the first half — the grow-by-append posture
+    val cdf = IvfTrain.centroidDf(spark,
+      IvfTrain.train(spark, ep.filter(col("vec_id") < half), 16, 3, 64))
+
+    val grown = java.nio.file.Files.createTempDirectory("graft-ivf-grow").toString
+    IvfTrain.writeIndex(ep.filter(col("vec_id") < half), cdf, grown)
+    IvfTrain.appendIndex(ep.filter(col("vec_id") >= half), cdf, grown)
+    val full = java.nio.file.Files.createTempDirectory("graft-ivf-full").toString
+    IvfTrain.writeIndex(ep, cdf, full)
+
+    def rows(path: String) = spark.read.parquet(path)
+      .select("vec_id", "cid").collect()
+      .map(r => (r.getLong(0), r.getInt(1))).sorted.toSeq
+    val got = rows(grown)
+    assert(got.size === e.count())
+    assert(got === rows(full))
+  }
 }
