@@ -56,6 +56,13 @@ object DataPipeQueries {
   private val MinhashSeeds = 12
   private val BandSize = 4 // → 3 bands of 4 hashes
 
+  /** PII patterns (ta_pii_scrub) — the shared Java/RE2 regex subset, one
+    * definition rendered into both engines. Triple-quoted: backslashes are
+    * literal. */
+  private val PiiEmailPat = """[a-z0-9._]+@[a-z0-9.]+[a-z]"""
+  private val PiiCardPat = """[0-9]{4} [0-9]{4} [0-9]{4} [0-9]{4}"""
+  private val PiiIpPat = """[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}"""
+
   /** 8-bit sign-LSH bucket over fixed dims (shared by the ANN queries). */
   private val SignDims = Seq(1, 9, 17, 25, 33, 41, 49, 57)
   private def signBucket: Column = concat(SignDims.map(i =>
@@ -1428,6 +1435,81 @@ object DataPipeQueries {
         size(wordsCol).cast("int").as("n_ws"),
         size(regexp_extract_all(col("text"),
           lit("[a-z]+|[A-Z][a-z]*|[0-9]+|[^a-zA-Z0-9 ]"), lit(0))).cast("int").as("n_bpe"))
+        .orderBy("doc_id")
+    },
+
+    // ---- vocabulary construction (r5): the tokenizer-training input —
+    // corpus-wide word counts + document frequencies, top-100 by count.
+    // Scale shape: explode → hash-groupBy with map-side partial aggs (the
+    // df leg is a two-phase distinct agg), then TakeOrderedAndProject for
+    // the top-k — no global sort of the vocabulary ever materializes; the
+    // rank window runs over the already-collected 100 rows.
+    Q("ta_vocab",
+      """WITH w AS (
+        |  SELECT doc_id, unnest(str_split(text, ' ')) AS word FROM documents),
+        |c AS (
+        |  SELECT word, count(*) AS cnt, count(DISTINCT doc_id) AS df
+        |  FROM w GROUP BY word),
+        |t AS (SELECT word, cnt, df FROM c ORDER BY cnt DESC, word LIMIT 100)
+        |SELECT CAST(row_number() OVER (ORDER BY cnt DESC, word) AS INT) AS rank,
+        |  word, CAST(cnt AS BIGINT) AS cnt, CAST(df AS BIGINT) AS df
+        |FROM t ORDER BY rank""".stripMargin) { (s, d) =>
+      val top = docs(s, d)
+        .select(col("doc_id"), explode(wordsCol).as("word"))
+        .groupBy("word")
+        .agg(count(lit(1)).as("cnt"), countDistinct(col("doc_id")).as("df"))
+        .orderBy(desc("cnt"), asc("word")).limit(100)
+      top.withColumn("rank", row_number()
+          .over(Window.orderBy(desc("cnt"), asc("word"))).cast("int"))
+        .select("rank", "word", "cnt", "df").orderBy("rank")
+    },
+
+    // ---- PII scrubbing (r5): redact emails / IPv4s / card numbers from
+    // corpus text before training, reporting per-doc hit counts and the
+    // scrubbed text's md5. The fixture corpus carries no PII, so the query
+    // INJECTS it deterministically from doc_id in BOTH engines first (the
+    // pseudo-eval-set precedent) — the differential then proves the
+    // scrubber finds and removes exactly the planted instances. Patterns
+    // are RE2-safe (shared Java/RE2 subset); replacement order is fixed
+    // (email, card, ip) so overlapping-class text resolves identically.
+    // Scale shape: narrow per-row regex work, codegen'd, zero shuffles.
+    Q("ta_pii_scrub", {
+      val inj = "text || CASE WHEN doc_id % 3 = 0 THEN ' contact user' || " +
+        "CAST(doc_id AS VARCHAR) || '@mail.example.com' ELSE '' END || " +
+        "CASE WHEN doc_id % 5 = 0 THEN ' from 10.' || " +
+        "CAST(doc_id % 200 AS VARCHAR) || '.' || " +
+        "CAST(doc_id % 250 AS VARCHAR) || '.7' ELSE '' END || " +
+        "CASE WHEN doc_id % 7 = 0 THEN ' card 4111 1111 1111 1111' ELSE '' END"
+      s"""WITH pt AS (SELECT doc_id, $inj AS t FROM documents)
+         |SELECT doc_id,
+         |  CAST(len(regexp_extract_all(t, '$PiiEmailPat')) AS INT) AS n_email,
+         |  CAST(len(regexp_extract_all(t, '$PiiCardPat')) AS INT) AS n_card,
+         |  CAST(len(regexp_extract_all(t, '$PiiIpPat')) AS INT) AS n_ip,
+         |  md5(regexp_replace(regexp_replace(regexp_replace(t,
+         |    '$PiiEmailPat', '<EMAIL>', 'g'),
+         |    '$PiiCardPat', '<CARD>', 'g'),
+         |    '$PiiIpPat', '<IP>', 'g')) AS scrub_md5
+         |FROM pt ORDER BY doc_id""".stripMargin
+    }) { (s, d) =>
+      val t = concat(col("text"),
+        when(col("doc_id") % 3 === 0, concat(lit(" contact user"),
+          col("doc_id").cast("string"), lit("@mail.example.com")))
+          .otherwise(lit("")),
+        when(col("doc_id") % 5 === 0, concat(lit(" from 10."),
+          (col("doc_id") % 200).cast("string"), lit("."),
+          (col("doc_id") % 250).cast("string"), lit(".7")))
+          .otherwise(lit("")),
+        when(col("doc_id") % 7 === 0, lit(" card 4111 1111 1111 1111"))
+          .otherwise(lit("")))
+      docs(s, d).select(col("doc_id"), t.as("t"))
+        .select(col("doc_id"),
+          regexp_count(col("t"), lit(PiiEmailPat)).cast("int").as("n_email"),
+          regexp_count(col("t"), lit(PiiCardPat)).cast("int").as("n_card"),
+          regexp_count(col("t"), lit(PiiIpPat)).cast("int").as("n_ip"),
+          md5(regexp_replace(regexp_replace(regexp_replace(col("t"),
+            PiiEmailPat, "<EMAIL>"),
+            PiiCardPat, "<CARD>"),
+            PiiIpPat, "<IP>")).as("scrub_md5"))
         .orderBy("doc_id")
     },
 
