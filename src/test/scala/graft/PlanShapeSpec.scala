@@ -96,4 +96,23 @@ class PlanShapeSpec extends SparkSuite {
           s"$q grew a cartesian product")
       }
   }
+
+  test("ta_vocab plan: top-k via TakeOrderedAndProject, no global vocabulary sort") {
+    assume(new java.io.File("/root/testdata/sf0.001").isDirectory,
+      "driver testdata not mounted")
+    val df = SparkEntry.queries("ta_vocab")(spark, "/root/testdata/sf0.001")
+    df.foreach(_ => ())
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"top-100 must be TakeOrderedAndProject, not a global sort+limit\n$plan")
+    // the only Sort allowed is inside the 100-row post-limit rank window;
+    // a Sort that feeds an Exchange would be the full-vocabulary sort
+    assert(!plan.contains("CartesianProduct"))
+    Seq("ta_pack_sequences", "ta_pii_scrub", "ann_ivf_append").foreach { q =>
+      val p = SparkEntry.queries(q)(spark, "/root/testdata/sf0.001")
+      p.foreach(_ => ())
+      assert(!p.queryExecution.executedPlan.toString.contains("CartesianProduct"),
+        s"$q grew a cartesian product")
+    }
+  }
 }
