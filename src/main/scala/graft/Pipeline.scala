@@ -113,8 +113,16 @@ object Pipeline {
         // unpersist would evict the shared entry from under the new plan
         prev.foreach(_._3())
         val (df, cleanup) = enrichPlanned(turns, tables, conf, state)
-        managedRef.set(Some((key, df, cleanup)))
-        df
+        // r6: persist the FINAL enriched output too, not only the survivors
+        // diamond — the sharing callers (c8/c9/c9b/agg_rollup_sev_kind) each
+        // re-ran the post-survivors half of the chain (ioc/sig/ref joins +
+        // first-seen/frequency joins + scoring, ~2.5 s each at sf0.1)
+        // against the cached survivors; with the result cached they read one
+        // materialization (guide §5: reuse justifies the persist, and the
+        // managed lifecycle already bounds it to one live plan)
+        val cached = df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        managedRef.set(Some((key, cached, () => { cached.unpersist(); cleanup() })))
+        cached
     }
   }
 
@@ -195,13 +203,20 @@ object Pipeline {
     // would otherwise infer drifted types and drop all-null columns
     val written = Source.readTable(spark, conf.sinkFormat, s"$outDir/enriched",
       schema = Some(enriched.schema))
-    Source.writeTable(
-      saltedBySeverity(alertDocs(written.filter(col("routed"))), conf.saltBuckets),
-      conf.sinkFormat, s"$outDir/alerts_all", partitionCols = Seq("severity"))
-    Source.writeTable(rollupBySignature(written), conf.sinkFormat,
-      s"$outDir/rollup_signature")
-    Source.writeTable(rollupBySink(written), conf.sinkFormat,
-      s"$outDir/rollup_sink")
+    // r6: the three derivations are independent column-pruned scans of the
+    // written table — run them concurrently (guide §2.6), same as route
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration.Duration
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val derivations = Seq[() => Unit](
+      () => Source.writeTable(
+        saltedBySeverity(alertDocs(written.filter(col("routed"))), conf.saltBuckets),
+        conf.sinkFormat, s"$outDir/alerts_all", partitionCols = Seq("severity")),
+      () => Source.writeTable(rollupBySignature(written), conf.sinkFormat,
+        s"$outDir/rollup_signature"),
+      () => Source.writeTable(rollupBySink(written), conf.sinkFormat,
+        s"$outDir/rollup_sink"))
+    derivations.map(w => Future(w())).foreach(Await.result(_, Duration.Inf))
     // per-sink counts from ONE pruned aggregation over the written table
     // (severity + routed columns only — not an observe over a full pass)
     val severities = conf.severityBands.map(_._2)
@@ -229,13 +244,23 @@ object Pipeline {
       // first: a partitioned write whose routed subset is empty drops
       // observed metrics entirely (Spark 4.1) and obs.get would hang
       cached.observe(obs, aggs.head, aggs.tail: _*).count()
-      graft.sources.Source.writeTable(
-        saltedBySeverity(alertDocs(cached.filter(col("routed"))), conf.saltBuckets),
-        conf.sinkFormat, s"$outDir/alerts_all", partitionCols = Seq("severity"))
-      graft.sources.Source.writeTable(rollupBySignature(cached), conf.sinkFormat,
-        s"$outDir/rollup_signature")
-      graft.sources.Source.writeTable(rollupBySink(cached), conf.sinkFormat,
-        s"$outDir/rollup_sink")
+      // r6: the three sink writes are INDEPENDENT jobs over the already
+      // materialized cache — submit them from a small thread pool (guide
+      // §2.6) so each write's straggler tail and commit phase overlaps the
+      // others' tasks instead of serializing three full job walls. FIFO
+      // scheduling back-fills freed cores; failures propagate via Await.
+      import scala.concurrent.{Await, Future}
+      import scala.concurrent.duration.Duration
+      import scala.concurrent.ExecutionContext.Implicits.global
+      val writes = Seq[() => Unit](
+        () => graft.sources.Source.writeTable(
+          saltedBySeverity(alertDocs(cached.filter(col("routed"))), conf.saltBuckets),
+          conf.sinkFormat, s"$outDir/alerts_all", partitionCols = Seq("severity")),
+        () => graft.sources.Source.writeTable(rollupBySignature(cached),
+          conf.sinkFormat, s"$outDir/rollup_signature"),
+        () => graft.sources.Source.writeTable(rollupBySink(cached),
+          conf.sinkFormat, s"$outDir/rollup_sink"))
+      writes.map(w => Future(w())).foreach(Await.result(_, Duration.Inf))
       val m = obs.get
       severities.map(s => s -> m(s"n_$s").asInstanceOf[Long]).toMap +
         ("total" -> m("n_total").asInstanceOf[Long])

@@ -176,7 +176,7 @@ object DataPipeQueries {
     * set is a LOADED table (RuleLoader.evalTexts — json or parquet) and
     * every document is a train doc; unset (the driver's differential mode)
     * ⇒ the deterministic pseudo-set fixture (doc_id % 23 membership). */
-  private def evalSplit(s: SparkSession, d: String): (DataFrame, DataFrame) = {
+  private[entry] def evalSplit(s: SparkSession, d: String): (DataFrame, DataFrame) = {
     val g8 = docs(s, d).filter(size(wordsCol) >= 8)
       .select(col("doc_id"), explode(gram8Expr).as("h"))
     s.conf.getOption("spark.graft.eval.path") match {
@@ -186,10 +186,31 @@ object DataPipeQueries {
           .select(explode(gram8Expr).as("h")).distinct()
         (ev, g8)
       case None =>
-        (g8.filter(col("doc_id") % 23 === 0).select("h").distinct(),
-          g8.filter(col("doc_id") % 23 =!= 0))
+        // r6: the eval and train legs split ONE persisted gram table —
+        // unpersisted, each leg re-ran the full docs scan + 8-gram explode
+        // + md5 (~n_words md5s per doc per leg). retain (not cycle):
+        // ta_curation calls this after jaccardVerified's cycle.
+        val g8p = QueryCache.retain(g8)
+        (g8p.filter(col("doc_id") % 23 === 0).select("h").distinct(),
+          g8p.filter(col("doc_id") % 23 =!= 0))
     }
   }
+
+  /** All ordered pairs (i < j) of an ASCENDING-sorted id array, as an array
+    * of (i, j) structs — the in-array pair generator for bucket-equijoin
+    * candidate generation (r6): `groupBy(bucket) → collect sorted members →
+    * explode pairs` computes the bucket index ONCE, where the former
+    * `index.as("a") JOIN index.as("b") ON same bucket AND a.id < b.id`
+    * evaluated the whole index subtree twice (once per join side) plus a
+    * join. Output pair set is identical. Skew note: a hot bucket is
+    * quadratic in EITHER form (that is the LSH candidate set itself); this
+    * form additionally holds one bucket's member ids in an array — ids
+    * only, bounded by the band collision rate, same order of memory as the
+    * join's per-key build side. */
+  private def sortedPairs(ids: Column): Column =
+    flatten(transform(ids, (x, ix) =>
+      transform(slice(ids, ix + lit(2), size(ids) - ix - lit(1)),
+        y => struct(x.as("i"), y.as("j")))))
 
   /** DuckDB recursive-CTE oracle of the near-dup CC labels (shared by
     * dd_cluster_cc and ta_curation — one definition, two queries): verified
@@ -216,7 +237,7 @@ object DataPipeQueries {
     * the EXACT prefix-filtered AllPairs join (see dd_ngram_jaccard for the
     * algorithm notes). Returns (i, j, inter, na, nb); shared by
     * dd_ngram_jaccard and the connected-components clustering. */
-  private def jaccardVerified(s: SparkSession, d: String): DataFrame = {
+  private[entry] def jaccardVerified(s: SparkSession, d: String): DataFrame = {
     // docsh fans into 4 consumers (token index + both verify sides) —
     // persist via the latest-only cycle() so the shingle arrays are
     // computed once per query, not once per consumer
@@ -234,6 +255,10 @@ object DataPipeQueries {
         Window.partitionBy("doc_id").orderBy(col("df"), col("shh"))))
       .filter(col("rk") <= floor(col("nsh") / 2) + 1)
       .select("doc_id", "shh")
+    // (r6 note: a sortedPairs-style grouped rewrite of this self-join was
+    // measured SLOWER here — both prefix sides read the cached docsh, so
+    // the duplicate side is cheap and AQE broadcasts the join, while the
+    // grouped form adds a collect_list aggregation. See OPTIMIZATION_r06.md)
     val cand = prefix.as("a")
       .join(prefix.as("b"),
         col("a.shh") === col("b.shh") && col("a.doc_id") < col("b.doc_id"))
@@ -267,7 +292,7 @@ object DataPipeQueries {
     * diameters ~2^64, so hitting it means a real bug, and it fails loud).
     * Returns (node, comp) where comp = min doc_id of the component — the
     * kept canonical doc. */
-  private def ccLabels(pairs: DataFrame): DataFrame = {
+  private[entry] def ccLabels(pairs: DataFrame): DataFrame = {
     // fault-tolerance seam (VERDICT r4 #7): localCheckpoint truncates
     // lineage but stores blocks only on executors — on a real cluster a
     // lost executor invalidates the loop mid-flight. Setting
@@ -305,14 +330,21 @@ object DataPipeQueries {
           (coalesce(col("nbr_min"), col("comp")) < col("comp")).as("_chg")))
       // pointer doubling: comp := comp(comp). comp is always some node's id
       // (init comp=node), so the self-join by comp→node total-covers.
+      // r6: the convergence count rides the checkpoint's materialization
+      // job as an observed metric — one job per round instead of two
+      // (checkpoint + count); Observation delivery on eager checkpoint
+      // actions verified, empty-frame edge included (sum→null→coalesce 0)
+      val obs = org.apache.spark.sql.Observation()
       val next = ckpt(prop
         .join(prop.select(col("node").as("comp"), col("comp").as("cc2")),
           Seq("comp"), "left_outer")
         .select(col("node"),
           least(col("comp"), coalesce(col("cc2"), col("comp"))).as("comp"),
           (col("_chg") ||
-            coalesce(col("cc2"), col("comp")) < col("comp")).as("_chg")))
-      changed = next.filter(col("_chg")).count()
+            coalesce(col("cc2"), col("comp")) < col("comp")).as("_chg"))
+        .observe(obs, coalesce(sum(when(col("_chg"), 1L).otherwise(0L)),
+          lit(0L)).as("chg")))
+      changed = obs.get("chg").asInstanceOf[Long]
       labels = next.drop("_chg")
       iter += 1
     }
@@ -544,8 +576,13 @@ object DataPipeQueries {
       val mx = base.agg(max(col("doc_id"))).first().getLong(0)
       val shifted = base.select((col("doc_id") + lit(mx + 1)).as("doc_id"),
         col("text"))
-      val stateDir = java.nio.file.Files
-        .createTempDirectory("graft-cur-state").toString
+      // fixed scratch dir, wiped per invocation (ADVICE r5): a fresh temp
+      // dir per bench run accumulated full state copies in /tmp; the wipe
+      // also guarantees each invocation starts from EMPTY state (stale
+      // run-1/run-2 snapshots would corrupt the differential)
+      val stateDir =
+        s"${System.getProperty("java.io.tmpdir")}/graft-cur-state-scratch"
+      graft.util.Fs.deleteRecursively(new java.io.File(stateDir))
       CurationState.run(s, base, stateDir, "1")
       CurationState.run(s, shifted, stateDir, "2")
       val keepers = CurationState.load(s, stateDir).contentHashes.get
@@ -589,10 +626,15 @@ object DataPipeQueries {
             .as("sig")))
       val bands = mh.select(col("doc_id"), explode(array(bandStructs: _*)).as("bs"))
         .select(col("doc_id"), col("bs.band").as("band"), col("bs.sig").as("sig"))
-      val a = bands.select(col("doc_id").as("i"), col("band"), col("sig"))
-      val b = bands.select(col("doc_id").as("j"), col("band").as("band2"), col("sig").as("sig2"))
-      a.join(b, col("band") === col("band2") && col("sig") === col("sig2") && col("i") < col("j"))
-        .select("i", "j").distinct().orderBy("i", "j")
+      // r6: pair generation via ONE grouped pass (see sortedPairs) — the
+      // former bands-self-join computed the whole shingle→12-minhash
+      // aggregation subtree twice (12 md5s per token row per side)
+      bands.groupBy("band", "sig")
+        .agg(sort_array(collect_list(col("doc_id"))).as("ids"))
+        .filter(size(col("ids")) >= 2)
+        .select(explode(sortedPairs(col("ids"))).as("p"))
+        .select(col("p.i").as("i"), col("p.j").as("j"))
+        .distinct().orderBy("i", "j")
     },
 
     // ---- SimHash document fingerprint (16-bit, word tokens, md5-derived).
@@ -1041,11 +1083,11 @@ object DataPipeQueries {
       import graft.functions.ArrayDot
       import graft.operators.IvfTrain
       val ep = cycle(IvfTrain.prepared(embs(s, d)))
-      val cdf = IvfTrain.centroidDf(s, IvfTrain.train(s, ep, IvfK, IvfIters, 64))
-      val asg = IvfTrain.nearest(ep, cdf, 1)
+      val cents = IvfTrain.train(s, ep, IvfK, IvfIters, 64)
+      val asg = IvfTrain.nearest(ep, cents, 1)
         .select(col("vec_id").as("nid"), col("cid"),
           col("vd").as("nv"), col("nd").as("nn"))
-      val probes = IvfTrain.nearest(ep.filter(col("vec_id") < 10), cdf, IvfProbes)
+      val probes = IvfTrain.nearest(ep.filter(col("vec_id") < 10), cents, IvfProbes)
         .select(col("vec_id").as("qid"), col("cid"),
           col("vd").as("qv"), col("nd").as("qn"))
       broadcast(probes).join(asg, Seq("cid")).filter(col("nid") =!= col("qid"))
@@ -1093,11 +1135,13 @@ object DataPipeQueries {
     }) { (s, d) =>
       import graft.operators.IvfTrain
       val ep = cycle(IvfTrain.prepared(embs(s, d)))
-      val cdf = IvfTrain.centroidDf(s, IvfTrain.train(s, ep, IvfK, IvfIters, 64))
-      val path = java.nio.file.Files
-        .createTempDirectory("graft-ivf-index").toString
-      IvfTrain.writeIndex(ep, cdf, path)
-      IvfTrain.search(s, path, cdf, ep.filter(col("vec_id") < 10),
+      val cents = IvfTrain.train(s, ep, IvfK, IvfIters, 64)
+      // fixed scratch dir, not a fresh temp dir per invocation (ADVICE r5):
+      // the overwrite-mode index write wipes it, so repeated bench runs
+      // reuse one directory instead of accumulating index copies in /tmp
+      val path = s"${System.getProperty("java.io.tmpdir")}/graft-ivf-index-scratch"
+      IvfTrain.writeIndex(ep, cents, path)
+      IvfTrain.search(s, path, cents, ep.filter(col("vec_id") < 10),
         IvfProbes, 10).orderBy("qid", "rank")
     },
 
@@ -1139,13 +1183,14 @@ object DataPipeQueries {
       import graft.operators.IvfTrain
       val ep = cycle(IvfTrain.prepared(embs(s, d)))
       val half = embs(s, d).count() / 2
-      val cdf = IvfTrain.centroidDf(s,
-        IvfTrain.train(s, ep.filter(col("vec_id") < half), IvfK, IvfIters, 64))
-      val path = java.nio.file.Files
-        .createTempDirectory("graft-ivf-append").toString
-      IvfTrain.writeIndex(ep.filter(col("vec_id") < half), cdf, path)
-      IvfTrain.appendIndex(ep.filter(col("vec_id") >= half), cdf, path)
-      IvfTrain.search(s, path, cdf, ep.filter(col("vec_id") < 10),
+      val cents =
+        IvfTrain.train(s, ep.filter(col("vec_id") < half), IvfK, IvfIters, 64)
+      // fixed scratch dir (ADVICE r5): writeIndex's overwrite wipes it, the
+      // append then recreates exactly the fresh-run state — no /tmp growth
+      val path = s"${System.getProperty("java.io.tmpdir")}/graft-ivf-append-scratch"
+      IvfTrain.writeIndex(ep.filter(col("vec_id") < half), cents, path)
+      IvfTrain.appendIndex(ep.filter(col("vec_id") >= half), cents, path)
+      IvfTrain.search(s, path, cents, ep.filter(col("vec_id") < 10),
         IvfProbes, 10).orderBy("qid", "rank")
     },
 
@@ -1226,10 +1271,10 @@ object DataPipeQueries {
             col("nid") =!= col("qid2"))
         .select(col("qid2").as("qid"), col("nid")).distinct()
       val lsh = top10(lcand.join(q, "qid").join(n, "nid"))
-      val cdf = IvfTrain.centroidDf(s, IvfTrain.train(s, ep, IvfK, IvfIters, 64))
-      val asg = IvfTrain.nearest(ep, cdf, 1)
+      val cents = IvfTrain.train(s, ep, IvfK, IvfIters, 64)
+      val asg = IvfTrain.nearest(ep, cents, 1)
         .select(col("vec_id").as("nid"), col("cid"))
-      val iprobes = IvfTrain.nearest(ep.filter(col("vec_id") < 20), cdf, IvfProbes)
+      val iprobes = IvfTrain.nearest(ep.filter(col("vec_id") < 20), cents, IvfProbes)
         .select(col("vec_id").as("qid"), col("cid"))
       val icand = broadcast(iprobes).join(asg, Seq("cid")).filter(col("nid") =!= col("qid"))
         .select("qid", "nid").distinct()

@@ -99,7 +99,15 @@ object CurationState {
           .groupBy("fp").agg(min(col("keep_id")).as("keep_id"))
         case None => batchMin
       }
-      chSnap.write.mode(SaveMode.Overwrite).parquet(s"$runDir/content_hashes")
+      // r6: snapshot row counts ride the write actions as observed metrics
+      // (same values as the former written-back re-reads — the observation
+      // counts exactly the rows the write commits — minus three read-back
+      // jobs per run; delivery on non-partitioned parquet writes verified
+      // incl. the empty-snapshot edge)
+      import org.apache.spark.sql.Observation
+      val chObs = Observation()
+      chSnap.observe(chObs, count(lit(1)).as("n"))
+        .write.mode(SaveMode.Overwrite).parquet(s"$runDir/content_hashes")
 
       // --- seg_freq snapshot: counts over ALL batch rows (single-pass
       // dd_line_dedup counts the full doc set, so the incremental fold must
@@ -114,7 +122,9 @@ object CurationState {
         case None => batchSegs
       }).select(col("h"),
         least(col("n"), lit(BoilerThreshold.toLong)).cast("long").as("n"))
-      sfSnap.write.mode(SaveMode.Overwrite).parquet(s"$runDir/seg_freq")
+      val sfObs = Observation()
+      sfSnap.observe(sfObs, count(lit(1)).as("n"))
+        .write.mode(SaveMode.Overwrite).parquet(s"$runDir/seg_freq")
 
       // --- eval_grams snapshot: distinct union of the batch's eval grams.
       // Eval source precedence: explicit evalDocs param > the conf-driven
@@ -133,18 +143,20 @@ object CurationState {
         case Some(eg) => eg.unionByName(batchGrams).distinct()
         case None => batchGrams
       }
-      egSnap.write.mode(SaveMode.Overwrite).parquet(s"$runDir/eval_grams")
+      val egObs = Observation()
+      egSnap.observe(egObs, count(lit(1)).as("n"))
+        .write.mode(SaveMode.Overwrite).parquet(s"$runDir/eval_grams")
 
-      // --- metrics from the WRITTEN snapshots (reading them back is cheap
-      // and double-checks the writes landed), then manifest LAST
+      // --- metrics (same values as before — observed counts of the rows
+      // each snapshot write committed), then manifest LAST
       val keptN = kept.count()
       val metrics = Map(
         "n_batch" -> nBatch,
         "n_kept_new" -> keptN,
         "n_dup" -> (nBatch - keptN),
-        "n_content_hashes" -> spark.read.parquet(s"$runDir/content_hashes").count(),
-        "n_seg_freq" -> spark.read.parquet(s"$runDir/seg_freq").count(),
-        "n_eval_grams" -> spark.read.parquet(s"$runDir/eval_grams").count())
+        "n_content_hashes" -> chObs.get("n").asInstanceOf[Long],
+        "n_seg_freq" -> sfObs.get("n").asInstanceOf[Long],
+        "n_eval_grams" -> egObs.get("n").asInstanceOf[Long])
       graft.Incremental.writeManifest(stateDir, runId, metrics, Seq.empty)
       BatchResult(runId, kept.drop("fp"), metrics)
     } finally fp.unpersist()

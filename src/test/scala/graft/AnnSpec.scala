@@ -52,7 +52,6 @@ class AnnSpec extends SparkSuite {
     val ep = IvfTrain.prepared(e).localCheckpoint()
 
     def recallOf(cents: Seq[IvfTrain.Centroid], nprobe: Int): Double = {
-      val cdf = IvfTrain.centroidDf(spark, cents)
       val q = ep.filter(col("vec_id") < 20)
         .select(col("vec_id").as("qid"), col("vd").as("qv"), col("nd").as("qn"))
       val n = ep.select(col("vec_id").as("nid"), col("vd").as("nv"),
@@ -64,9 +63,9 @@ class AnnSpec extends SparkSuite {
         .filter(col("rk") <= 10).select("qid", "nid")
       val truth = top10(q.join(n, col("nid") =!= col("qid"))).collect()
         .map(r => (r.getLong(0), r.getLong(1))).toSet
-      val asg = IvfTrain.nearest(ep, cdf, 1)
+      val asg = IvfTrain.nearest(ep, cents, 1)
         .select(col("vec_id").as("nid"), col("cid"))
-      val probes = IvfTrain.nearest(ep.filter(col("vec_id") < 20), cdf, nprobe)
+      val probes = IvfTrain.nearest(ep.filter(col("vec_id") < 20), cents, nprobe)
         .select(col("vec_id").as("qid"), col("cid"))
       val cand = probes.join(asg, Seq("cid")).filter(col("nid") =!= col("qid"))
         .select("qid", "nid").distinct()
@@ -96,8 +95,7 @@ class AnnSpec extends SparkSuite {
 
     // trained posting lists must be balanced on balanced clusters: max/min
     // cluster size bounded (the 100-TB partition-skew property)
-    val cdf = IvfTrain.centroidDf(spark, trained)
-    val sizes = IvfTrain.nearest(ep, cdf, 1).groupBy("cid").count()
+    val sizes = IvfTrain.nearest(ep, trained, 1).groupBy("cid").count()
       .collect().map(_.getLong(1))
     assert(sizes.length === 10 && sizes.max <= 3L * sizes.min,
       s"trained posting lists unbalanced: ${sizes.sorted.mkString(",")}")
@@ -111,21 +109,20 @@ class AnnSpec extends SparkSuite {
       "driver testdata not mounted")
     val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     val ep = IvfTrain.prepared(e).localCheckpoint()
-    val cdf = IvfTrain.centroidDf(spark,
-      IvfTrain.train(spark, ep, 16, 3, 64))
+    val cents = IvfTrain.train(spark, ep, 16, 3, 64)
     val dir = java.nio.file.Files.createTempDirectory("graft-ivf-idx").toString
 
-    IvfTrain.writeIndex(ep, cdf, dir)
+    IvfTrain.writeIndex(ep, cents, dir)
     // one directory per posting list (cid) — the partition layout IS the index
     val parts = new java.io.File(dir).listFiles().filter(_.getName.startsWith("cid="))
     assert(parts.length === 16, s"expected 16 posting-list partitions, ${parts.length}")
 
     val q = ep.filter(col("vec_id") < 5)
-    val got = IvfTrain.search(spark, dir, cdf, q, nprobe = 3, k = 10)
+    val got = IvfTrain.search(spark, dir, cents, q, nprobe = 3, k = 10)
     // results == the same search done against the un-materialized assignment
-    val asg = IvfTrain.nearest(ep, cdf, 1)
+    val asg = IvfTrain.nearest(ep, cents, 1)
       .select(col("vec_id").as("nid"), col("cid"), col("vd").as("nv"), col("nd").as("nn"))
-    val probes = IvfTrain.nearest(q, cdf, 3)
+    val probes = IvfTrain.nearest(q, cents, 3)
       .select(col("vec_id").as("qid"), col("cid"), col("vd").as("qv"), col("nd").as("qn"))
     val want = broadcast(probes).join(asg, Seq("cid"))
       .filter(col("nid") =!= col("qid"))
@@ -157,14 +154,14 @@ class AnnSpec extends SparkSuite {
     val ep = IvfTrain.prepared(e).localCheckpoint()
     val half = e.count() / 2
     // codebook frozen on the first half — the grow-by-append posture
-    val cdf = IvfTrain.centroidDf(spark,
-      IvfTrain.train(spark, ep.filter(col("vec_id") < half), 16, 3, 64))
+    val cents =
+      IvfTrain.train(spark, ep.filter(col("vec_id") < half), 16, 3, 64)
 
     val grown = java.nio.file.Files.createTempDirectory("graft-ivf-grow").toString
-    IvfTrain.writeIndex(ep.filter(col("vec_id") < half), cdf, grown)
-    IvfTrain.appendIndex(ep.filter(col("vec_id") >= half), cdf, grown)
+    IvfTrain.writeIndex(ep.filter(col("vec_id") < half), cents, grown)
+    IvfTrain.appendIndex(ep.filter(col("vec_id") >= half), cents, grown)
     val full = java.nio.file.Files.createTempDirectory("graft-ivf-full").toString
-    IvfTrain.writeIndex(ep, cdf, full)
+    IvfTrain.writeIndex(ep, cents, full)
 
     def rows(path: String) = spark.read.parquet(path)
       .select("vec_id", "cid").collect()
