@@ -676,7 +676,13 @@ object DataPipeQueries {
       import graft.functions.ArrayDot
       val e = embs(s, d).select(col("vec_id"), col("embedding"))
         .withColumn("nrm", sqrt(ArrayDot.dot(col("embedding"), col("embedding"))))
+      // r6: the embeddings file is one input split, so the all-pairs
+      // BroadcastNestedLoopJoin (N²/2 64-dim dots — the deliberate
+      // verification-twin cost) ran in ONE task. Round-robin the streamed
+      // side across the session's parallelism so the dot products use every
+      // core (scale-adaptive: defaultParallelism, not a constant).
       val a = e.select(col("vec_id").as("i"), col("embedding").as("va"), col("nrm").as("na"))
+        .repartition(s.sparkContext.defaultParallelism)
       val b = e.select(col("vec_id").as("j"), col("embedding").as("vb"), col("nrm").as("nb"))
       a.join(b, col("i") < col("j"))
         .filter(ArrayDot.dot(col("va"), col("vb")) / (col("na") * col("nb")) >= 0.3)

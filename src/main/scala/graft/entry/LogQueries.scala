@@ -1010,8 +1010,12 @@ scored AS (
       }.mkString("SELECT * FROM (\n", "\nUNION ALL\n", "\n) ORDER BY rule_id"))) { (s, d) =>
       // persist the parsed projection: Catalyst alias substitution would
       // otherwise duplicate the adapter's synthesized-text expression (md5
-      // concat chain) into every rule-clause reference (22 copies measured)
-      SigRules(QueryCache.cycle(P(s, d)), TestdataTables.sigRules)
+      // concat chain) into every rule-clause reference (22 copies measured).
+      // r6: narrowed to the columns the rule clauses actually probe —
+      // text/tags/ts and the unused parsed fields no longer materialize
+      SigRules(QueryCache.cycle(P(s, d)
+        .select("parse_ok", "action", "status", "uri", "user", "tool")),
+        TestdataTables.sigRules)
         .select(explode(col("hits_sig")).as("h"))
         .groupBy(col("h.rule_id").as("rule_id"), col("h.name").as("name"))
         .agg(count(lit(1)).as("n_hits"), sum(col("h.score")).cast("long").as("score_sum"))

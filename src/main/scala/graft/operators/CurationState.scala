@@ -106,8 +106,15 @@ object CurationState {
       // incl. the empty-snapshot edge)
       import org.apache.spark.sql.Observation
       val chObs = Observation()
-      chSnap.observe(chObs, count(lit(1)).as("n"))
-        .write.mode(SaveMode.Overwrite).parquet(s"$runDir/content_hashes")
+      // r6: the three snapshot writes are independent — submitted
+      // concurrently (futures collected below, before the metrics/manifest;
+      // a failed write propagates through Await, so the manifest still only
+      // lands after ALL snapshots committed — crash safety unchanged)
+      import scala.concurrent.{Await, Future}
+      import scala.concurrent.duration.Duration
+      import scala.concurrent.ExecutionContext.Implicits.global
+      val wCh = Future(chSnap.observe(chObs, count(lit(1)).as("n"))
+        .write.mode(SaveMode.Overwrite).parquet(s"$runDir/content_hashes"))
 
       // --- seg_freq snapshot: counts over ALL batch rows (single-pass
       // dd_line_dedup counts the full doc set, so the incremental fold must
@@ -123,8 +130,8 @@ object CurationState {
       }).select(col("h"),
         least(col("n"), lit(BoilerThreshold.toLong)).cast("long").as("n"))
       val sfObs = Observation()
-      sfSnap.observe(sfObs, count(lit(1)).as("n"))
-        .write.mode(SaveMode.Overwrite).parquet(s"$runDir/seg_freq")
+      val wSf = Future(sfSnap.observe(sfObs, count(lit(1)).as("n"))
+        .write.mode(SaveMode.Overwrite).parquet(s"$runDir/seg_freq"))
 
       // --- eval_grams snapshot: distinct union of the batch's eval grams.
       // Eval source precedence: explicit evalDocs param > the conf-driven
@@ -144,8 +151,9 @@ object CurationState {
         case None => batchGrams
       }
       val egObs = Observation()
-      egSnap.observe(egObs, count(lit(1)).as("n"))
-        .write.mode(SaveMode.Overwrite).parquet(s"$runDir/eval_grams")
+      val wEg = Future(egSnap.observe(egObs, count(lit(1)).as("n"))
+        .write.mode(SaveMode.Overwrite).parquet(s"$runDir/eval_grams"))
+      Seq(wCh, wSf, wEg).foreach(Await.result(_, Duration.Inf))
 
       // --- metrics (same values as before — observed counts of the rows
       // each snapshot write committed), then manifest LAST

@@ -99,21 +99,27 @@ object Elapsed {
     import org.apache.spark.sql.expressions.Window
     val ord = Seq(col("ts_us"), col("is_s").desc)
     val w = Window.partitionBy("key").orderBy(ord: _*)
-    val wf = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val ev = df.filter(isStart || isEnd)
       .select(col(key).cast("string").as("key"), col("ts_us"), col("ts_sec"),
         when(isStart, 1).otherwise(0).as("is_s"))
-    val runs = ev
+    // r6: ONE hashpartition(key) exchange instead of three. The former form
+    // materialized run_id (running sum), then ranked within (key, run_id) —
+    // a second shuffle — to find run-first rows, plus a third count window.
+    // But a row is its run's FIRST row exactly when chg = 1, a run's LENGTH
+    // is the rn_all gap to the next run-first row (runs are contiguous in
+    // the per-key order), and "leading end-run" means rn_all = 1 with
+    // is_s = 0 — all derivable on the ORIGINAL key partitioning, which the
+    // filters preserve, so the later lead/row_number windows reuse the same
+    // exchange. Identical output (ElapsedSpec + the p20b differential).
+    val marked = ev
+      .withColumn("rn_all", row_number().over(w))
       .withColumn("chg", when(lag(col("is_s"), 1).over(w).isNull ||
         lag(col("is_s"), 1).over(w) =!= col("is_s"), 1L).otherwise(0L))
-      .withColumn("run_id", sum(col("chg")).over(wf))
-    val wr = Window.partitionBy("key", "run_id").orderBy(ord: _*)
-    val eff = runs
-      .withColumn("rif", row_number().over(wr))
+      .withColumn("key_n", count(lit(1)).over(Window.partitionBy("key")))
+    val eff = marked.filter(col("chg") === 1L)
       .withColumn("run_len",
-        count(lit(1)).over(Window.partitionBy("key", "run_id")))
-      .filter(col("rif") === 1 &&
-        !(col("run_id") === 1 && col("is_s") === 0))
+        coalesce(lead(col("rn_all"), 1).over(w), col("key_n") + 1) - col("rn_all"))
+      .filter(!(col("rn_all") === 1 && col("is_s") === 0))
       .withColumn("rn2", row_number().over(w))
       .withColumn("txn", floor((col("rn2") + 1) / 2).cast("long"))
     val matched = col("e_us").isNotNull &&

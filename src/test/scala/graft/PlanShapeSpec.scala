@@ -105,8 +105,17 @@ class PlanShapeSpec extends SparkSuite {
     val plan = df.queryExecution.executedPlan.toString
     assert(plan.contains("TakeOrderedAndProject"),
       s"top-100 must be TakeOrderedAndProject, not a global sort+limit\n$plan")
-    // the only Sort allowed is inside the 100-row post-limit rank window;
-    // a Sort that feeds an Exchange would be the full-vocabulary sort
+    // the only Sort allowed is inside the 100-row post-limit rank window; a
+    // Sort that feeds an Exchange would be the full-vocabulary sort —
+    // asserted (ADVICE r5): no SortExec anywhere BELOW a shuffle Exchange
+    // in the physical plan (checked pre-AQE, where the tree is plain)
+    val phys = df.queryExecution.sparkPlan
+    val sortsFeedingExchange = phys.collect {
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeLike =>
+        e.collect { case s: org.apache.spark.sql.execution.SortExec => s }
+    }.flatten
+    assert(sortsFeedingExchange.isEmpty,
+      s"a Sort feeds an Exchange — that is a global vocabulary sort:\n$phys")
     assert(!plan.contains("CartesianProduct"))
     Seq("ta_pack_sequences", "ta_pii_scrub", "ann_ivf_append").foreach { q =>
       val p = SparkEntry.queries(q)(spark, "/root/testdata/sf0.001")
