@@ -274,21 +274,34 @@ object Incremental {
       val metrics0 = expectedKeys.map(k =>
         k -> m.get(k).map(_.asInstanceOf[Long]).getOrElse(0L)).toMap
 
-      // --- sinks: alert documents partitioned by (run_id, severity); dynamic
+      // --- r6: the alert sink, the four state snapshots and the lineage
+      // table are INDEPENDENT jobs over the two materialized caches + prior
+      // state — they run concurrently from a thread pool (guide §2.6) and
+      // are all awaited BEFORE the manifest, so the manifest still only
+      // lands after every write committed (crash safety unchanged; a failed
+      // write propagates through Await). This directly attacks the
+      // durability overhead of the streaming path (each micro-batch pays
+      // these writes).
+      import scala.concurrent.{Await, Future}
+      import scala.concurrent.duration.Duration
+      import scala.concurrent.ExecutionContext.Implicits.global
+      val writes = scala.collection.mutable.ArrayBuffer.empty[Future[Unit]]
+
+      // sinks: alert documents partitioned by (run_id, severity); dynamic
       // partition overwrite ⇒ a replayed run replaces its own partitions
       // (idempotent) without touching other runs', and salting keeps a hot
       // severity band from serializing into one write task
-      Pipeline.saltedBySeverity(
+      writes += Future(Pipeline.saltedBySeverity(
         Pipeline.alertDocs(enriched.filter(col("routed")).drop("_file")),
         conf.saltBuckets)
         .withColumn("run_id", lit(runId))
         .write.mode(SaveMode.Overwrite)
         .option("partitionOverwriteMode", "dynamic")
         .partitionBy("run_id", "severity")
-        .parquet(s"$outDir/alerts_all")
+        .parquet(s"$outDir/alerts_all"))
 
       // --- time boundary of this batch (cheap: enriched is already cached by
-      // the sink action). Ascending non-overlapping batches ⇒ every future
+      // the metrics action). Ascending non-overlapping batches ⇒ every future
       // row has ts_sec ≥ maxSec, which is what makes pruning safe.
       val maxSecRow = enriched.agg(max(col("ts_sec"))).first()
       val maxSec: Option[Long] =
@@ -306,7 +319,8 @@ object Incremental {
         case Some(st) => trackedVals.unionByName(st).distinct()
         case None => trackedVals
       }
-      seenSnap.write.mode(SaveMode.Overwrite).parquet(s"$runDir/seen_values")
+      writes += Future(
+        seenSnap.write.mode(SaveMode.Overwrite).parquet(s"$runDir/seen_values"))
 
       // fp_seen from the POST-DEDUP, PRE-WHITELIST rows (see persist comment)
       val batchFps = deduped.select(col("fp"), col("fp_bucket")).distinct()
@@ -319,7 +333,8 @@ object Incremental {
           col("fp_bucket") >= Math.floorDiv(s, conf.dedupDelaySec))
         case None => fpAll
       }
-      fpSnap.write.mode(SaveMode.Overwrite).parquet(s"$runDir/fp_seen")
+      writes += Future(
+        fpSnap.write.mode(SaveMode.Overwrite).parquet(s"$runDir/fp_seen"))
 
       val batchCounts = Frequency.perSecCounts(enriched, conf)
         .select(col("_k").as("key"), col("_s").as("sec"),
@@ -333,7 +348,8 @@ object Incremental {
         case Some(s) => cntAll.filter(col("sec") >= s - conf.freqWindowSec)
         case None => cntAll
       }
-      cntSnap.write.mode(SaveMode.Overwrite).parquet(s"$runDir/freq_counts")
+      writes += Future(
+        cntSnap.write.mode(SaveMode.Overwrite).parquet(s"$runDir/freq_counts"))
 
       val batchFired = enriched.filter(col("freq_hit"))
         .select(col(conf.freqKey).as("key"),
@@ -348,18 +364,24 @@ object Incremental {
           col("reset_bucket") >= Math.floorDiv(s, conf.freqResetSec))
         case None => firedAll
       }
-      firedSnap.write.mode(SaveMode.Overwrite).parquet(s"$runDir/fired")
+      writes += Future(
+        firedSnap.write.mode(SaveMode.Overwrite).parquet(s"$runDir/fired"))
 
       // --- lineage: exact input files this run consumed, written distributed
       // (never an O(files) driver collect — at 100 TB that's millions of
       // entries). The manifest records the count + a bounded sample.
       val fileDf = enriched.select(col("_file").as("file")).distinct()
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      fileDf.write.mode(SaveMode.Overwrite).parquet(s"$runDir/input_files")
-      val nFiles = fileDf.count()
-      val fileSample = fileDf.orderBy("file").limit(100).collect()
-        .map(_.getString(0)).toSeq
-      fileDf.unpersist()
+      val wFiles = Future {
+        fileDf.write.mode(SaveMode.Overwrite).parquet(s"$runDir/input_files")
+        val nFiles = fileDf.count()
+        val fileSample = fileDf.orderBy("file").limit(100).collect()
+          .map(_.getString(0)).toSeq
+        fileDf.unpersist()
+        (nFiles, fileSample)
+      }
+      writes.foreach(Await.result(_, Duration.Inf))
+      val (nFiles, fileSample) = Await.result(wFiles, Duration.Inf)
 
       val metrics = metrics0 + ("n_input_files" -> nFiles)
       val sinkCounts = severities.map(s => s -> metrics(s"sink_$s")).toMap
