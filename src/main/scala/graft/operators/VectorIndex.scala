@@ -146,8 +146,8 @@ object IvfTrain {
     * crossJoin(broadcast(cdf)) + row_number over Window(vec_id): no k× row
     * blowup, no hashpartition(vec_id) Exchange, no per-partition sort —
     * assignment becomes embarrassingly parallel map work at any scale.
-    * Bench (sf0.1, min): ann_ivf_trained 1.52→, ann_ivf_index 2.66→,
-    * ann_ivf_append 3.39→ (numbers in OPTIMIZATION_r06.md). */
+    * Bench (sf0.1, min): ann_ivf_trained 1.52→1.22, ann_ivf_index
+    * 2.66→1.68, ann_ivf_append 3.39→2.45 (ledger: OPTIMIZATION_r06.md). */
   def nearest(ep: DataFrame, cents: Seq[Centroid], n: Int): DataFrame = {
     val scored = array(cents.map(c =>
       struct(
