@@ -101,6 +101,45 @@ class AnnSpec extends SparkSuite {
       s"trained posting lists unbalanced: ${sizes.sorted.mkString(",")}")
   }
 
+  test("r6 narrow nearest() == the former crossJoin+row_number window form, bit for bit") {
+    // The r6 rewrite inlines the driver-side codebook as literals and ranks
+    // via an array_sort comparator; this pins that its (cs desc, cid asc)
+    // order and cosine doubles are EXACTLY the old broadcast-window form's,
+    // for rk=1 (assignment) and top-3 (probes), on a seeded random fixture
+    // including ties-by-construction (duplicated vectors).
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.expressions.Window
+    import graft.functions.ArrayDot
+    import graft.operators.IvfTrain
+    import spark.implicits._
+    val rnd = new scala.util.Random(11)
+    val dim = 16
+    val vecs = (0 until 200).map { i =>
+      val base = Array.fill(dim)(rnd.nextGaussian().toFloat)
+      (i.toLong, base.toSeq)
+    } ++ (200 until 220).map(i => (i.toLong, Seq.fill(dim)(0.5f))) // exact dups
+    val ep = IvfTrain.prepared(vecs.toDF("vec_id", "embedding")).localCheckpoint()
+    val cents = IvfTrain.train(spark, ep, 8, 2, dim)
+    // reference: the pre-r6 shape — crossJoin(broadcast(codebook rows)) +
+    // row_number over Window(vec_id) ordered (cs desc, cid asc)
+    val cdf = spark.createDataFrame(cents.map(c => (c.cid, c.cv.toSeq, c.cn)))
+      .toDF("cid", "cv", "cn")
+    def reference(n: Int) = ep
+      .crossJoin(broadcast(cdf))
+      .withColumn("cs", ArrayDot.dot(col("vd"), col("cv")) / (col("nd") * col("cn")))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy("vec_id").orderBy(desc("cs"), asc("cid"))))
+      .filter(col("rk") <= n)
+      .select("vec_id", "cid", "cs")
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getDouble(2)))
+      .sortBy(t => (t._1, t._2)).toSeq
+    for (n <- Seq(1, 3)) {
+      val got = rows(IvfTrain.nearest(ep, cents, n).select("vec_id", "cid", "cs"))
+      assert(got === rows(reference(n)), s"narrow nearest diverged at n=$n")
+    }
+  }
+
   test("materialized IVF index: search prunes to the probed posting-list partitions") {
     import org.apache.spark.sql.functions._
     import graft.operators.IvfTrain
